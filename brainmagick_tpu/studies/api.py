@@ -1,0 +1,295 @@
+"""Study/Recording API: per-recording handles with lazy raw + events loading
+and cached preprocessing (resample + highpass).
+
+Reference parity: bm/studies/api.py:31-383 — with two TPU-native design
+changes:
+
+  * no MNE: raw sensor data is a plain `RawData` (float32 [C, T] array +
+    sample rate + channel names + normalized 2D sensor positions). The
+    reference resolves positions at model time via mne.find_layout
+    (bm/models/common.py:183-236); here each study adapter computes them
+    once and they travel with the recording, so the model stays jittable.
+  * preprocessing (bm/studies/api.py:334-363) runs through the XLA
+    resample/highpass kernels in brainmagick_tpu.ops.dsp and is cached as
+    a raw .npy memmap instead of a .fif file.
+"""
+
+from __future__ import annotations
+
+import copy
+import inspect
+import json
+import logging
+import typing as tp
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from ..env import env
+from ..utils import Frequency, write_and_rename
+
+logger = logging.getLogger(__name__)
+
+#: marker for channels with unknown position (parity:
+#: bm/models/common.py:184 PositionGetter.INVALID)
+INVALID_POSITION = -0.1
+
+register: tp.Dict[str, tp.Type["Recording"]] = {}
+R = tp.TypeVar("R", bound="Recording")
+
+
+def from_selection(selection: tp.Dict[str, tp.Any]) -> tp.Iterator["Recording"]:
+    """Instantiate recordings from a selection dict with a "study" key;
+    remaining keys are forwarded to `Recording.iter` (bm/studies/api.py:35-46).
+    """
+    params = {k: v for k, v in selection.items() if v is not None}
+    name = params.pop("study")
+    return register[name].iter(**params)
+
+
+@dataclass
+class RawData:
+    """In-memory sensor time-series for one recording."""
+    data: np.ndarray                 # [C, T] float32
+    sample_rate: float
+    ch_names: tp.List[str]
+    positions: np.ndarray = field(default=None)  # [C, 2] in [0,1]^2, INVALID_POSITION if unknown
+
+    def __post_init__(self) -> None:
+        assert self.data.ndim == 2
+        if self.positions is None:
+            self.positions = np.full((self.data.shape[0], 2), INVALID_POSITION,
+                                     dtype=np.float32)
+        assert self.positions.shape == (self.data.shape[0], 2)
+
+    @property
+    def n_channels(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def n_times(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def times(self) -> np.ndarray:
+        return np.arange(self.n_times) / self.sample_rate
+
+    @property
+    def duration(self) -> float:
+        return self.n_times / self.sample_rate
+
+
+def preprocess_raw(raw: RawData, sample_rate: int, highpass: float = 0) -> RawData:
+    """Resample to `sample_rate` and optionally highpass (lowpass-subtract).
+
+    Reference semantics: bm/studies/api.py:334-363 (julius ResampleFrac +
+    highpass via lowpass subtraction), implemented with the XLA kernels.
+    """
+    import jax
+    from ..ops import dsp
+
+    old_sr = int(round(raw.sample_rate))
+    if sample_rate > old_sr:
+        raise ValueError(f"The sample rate should be below {old_sr}Hz, "
+                         f"got {sample_rate}")
+    data = jax.numpy.asarray(raw.data, dtype=jax.numpy.float32)
+    data = dsp.resample(data, old_sr, sample_rate)
+    if highpass:
+        data = dsp.highpass_filter(data, highpass / sample_rate)
+    return RawData(data=np.asarray(jax.device_get(data), dtype=np.float32),
+                   sample_rate=float(sample_rate), ch_names=list(raw.ch_names),
+                   positions=raw.positions)
+
+
+class Recording:
+    """One recording session of one subject.
+
+    Subclasses (one per study) implement `iter`, `_load_events` and
+    `_load_raw`, and are auto-registered by module name
+    (bm/studies/api.py:94-117 semantics).
+    """
+
+    data_url: str
+    paper_url: str
+    doi: str
+    licence: str
+    modality: str
+    language: str
+    device: str
+    description: str
+
+    #: block grouping used when events carry no precomputed blocks
+    block_type: str = "sentence"
+
+    @classmethod
+    def iter(cls: tp.Type[R], **kwargs: tp.Any) -> tp.Iterator[R]:
+        raise NotImplementedError
+
+    def _load_events(self) -> pd.DataFrame:
+        raise NotImplementedError
+
+    def _load_raw(self) -> RawData:
+        raise NotImplementedError
+
+    # -- shared machinery -------------------------------------------------
+
+    @classmethod
+    def study_name(cls) -> str:
+        return cls.__name__.replace("Recording", "").lower()
+
+    @classmethod
+    def __init_subclass__(cls) -> None:
+        super().__init_subclass__()
+        if cls.__name__.startswith("_"):
+            return
+        name = cls.study_name()
+        expected = cls.__module__.rsplit(".", maxsplit=1)[-1]
+        assert name == expected, (
+            f"Study {name} must be defined in a module named {name}, "
+            f"found {expected}.")
+        register[name] = cls
+        for key in ("data_url", "paper_url", "doi", "licence", "modality",
+                    "language", "device", "description"):
+            assert isinstance(getattr(cls, key), str), f"missing Recording.{key}"
+        params = inspect.signature(cls.iter).parameters
+        assert "study" not in params, '"study" is a reserved selection key.'
+
+    def __init__(self, *, subject_uid: str, recording_uid: str) -> None:
+        if not isinstance(subject_uid, str):
+            raise TypeError(f"subject_uid must be a str, got: {subject_uid!r}")
+        self.subject_uid = subject_uid
+        self.recording_uid = recording_uid
+        self._subject_index: tp.Optional[int] = None
+        self._recording_index: tp.Optional[int] = None
+        self._raw: tp.Optional[RawData] = None
+        self._preprocessed: tp.Dict[tp.Tuple[int, float], RawData] = {}
+        self._events: tp.Optional[pd.DataFrame] = None
+        self._meta: tp.Optional[dict] = None  # n_channels/positions summary
+        if env.cache is None:
+            self._cache_folder: tp.Optional[Path] = None
+        else:
+            self._cache_folder = (env.cache / "studies" / self.study_name()
+                                  / recording_uid)
+            self._cache_folder.mkdir(parents=True, exist_ok=True)
+
+    def __repr__(self) -> str:
+        return f"{self.__class__.__name__}({self.recording_uid!r})"
+
+    def empty_copy(self: R) -> R:
+        """Copy without cached payloads (cheap to move across processes)."""
+        out = copy.copy(self)
+        out._events = None
+        out._raw = None
+        out._preprocessed = {}
+        return out
+
+    @property
+    def subject_index(self) -> int:
+        if self._subject_index is None:
+            raise RuntimeError("Recording.subject_index has not been initialized")
+        return self._subject_index
+
+    @property
+    def recording_index(self) -> int:
+        if self._recording_index is None:
+            raise RuntimeError("Recording.recording_index has not been initialized")
+        return self._recording_index
+
+    # -- metadata ----------------------------------------------------------
+
+    def _meta_path(self) -> tp.Optional[Path]:
+        if self._cache_folder is None:
+            return None
+        return self._cache_folder / "meta.json"
+
+    def _get_meta(self) -> dict:
+        """Channel count / names / positions, cached so callers never need
+        to load the raw just for dimensions (replaces mne_info)."""
+        if self._meta is not None:
+            return self._meta
+        path = self._meta_path()
+        if path is not None and path.exists():
+            with open(path) as f:
+                self._meta = json.load(f)
+            return self._meta
+        raw = self.raw()
+        self._meta = {
+            "n_channels": raw.n_channels,
+            "ch_names": list(raw.ch_names),
+            "positions": np.asarray(raw.positions, dtype=np.float32).tolist(),
+            "sample_rate": raw.sample_rate,
+        }
+        if path is not None:
+            with write_and_rename(path, "w") as f:
+                json.dump(self._meta, f)
+        return self._meta
+
+    @property
+    def meg_dimension(self) -> int:
+        return int(self._get_meta()["n_channels"])
+
+    @property
+    def sensor_positions(self) -> np.ndarray:
+        """[C, 2] normalized sensor layout (INVALID_POSITION for unknown)."""
+        return np.asarray(self._get_meta()["positions"], dtype=np.float32)
+
+    # -- raw / preprocessed ------------------------------------------------
+
+    def raw(self) -> RawData:
+        if self._raw is None:
+            self._raw = self._load_raw()
+        return self._raw
+
+    def preprocessed(self, sample_rate: tp.Optional[float] = None,
+                     highpass: float = 0) -> RawData:
+        """Load (or compute and cache) the recording at `sample_rate` Hz.
+
+        Cached as <cache>/studies/<study>/<uid>/meg-sr{sr}-hp{hp}.npy
+        (bm/studies/api.py:192-234 semantics, memmap instead of .fif).
+        """
+        if sample_rate is not None and sample_rate != int(sample_rate):
+            raise ValueError("Only integer sampling rates are allowed")
+        sample_rate = int(sample_rate) if sample_rate is not None else 0
+        key = (sample_rate, highpass)
+        if key in self._preprocessed:
+            return self._preprocessed[key]
+        if sample_rate == 0 and highpass == 0:
+            return self.raw()
+
+        name = f"meg-sr{sample_rate}-hp{highpass}.npy"
+        filepath = None if self._cache_folder is None else self._cache_folder / name
+        if filepath is not None and filepath.exists():
+            meta = self._get_meta()
+            data = np.lib.format.open_memmap(filepath, mode="r")
+            out = RawData(
+                data=data, sample_rate=float(sample_rate),
+                ch_names=meta["ch_names"],
+                positions=np.asarray(meta["positions"], dtype=np.float32))
+        else:
+            raw = self.raw()
+            if int(round(raw.sample_rate)) == sample_rate and highpass == 0:
+                out = raw
+            else:
+                out = preprocess_raw(raw, sample_rate=sample_rate, highpass=highpass)
+                if filepath is not None:
+                    with write_and_rename(filepath) as f:
+                        np.save(f, out.data)
+        self._preprocessed[key] = out
+        return out
+
+    # -- events ------------------------------------------------------------
+
+    def events(self, clean: bool = True) -> pd.DataFrame:
+        """Load (or parse and cache) the typed events of this recording."""
+        if self._events is None:
+            cache_file = (None if self._cache_folder is None
+                          else self._cache_folder / "events.csv")
+            if cache_file is not None and cache_file.exists():
+                self._events = pd.read_csv(cache_file, index_col=None)
+            else:
+                self._events = self._load_events()
+                if cache_file is not None:
+                    self._events.to_csv(cache_file, index=False)
+        return self._events
