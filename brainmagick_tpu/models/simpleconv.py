@@ -1,0 +1,243 @@
+"""SimpleConv — the flagship brain decoder (NMI-paper model).
+
+Reference parity: bm/models/simpleconv.py:22-249. Forward pipeline:
+optional channel subsample mask -> ChannelDropout -> ChannelMerger
+spatial attention -> initial 1x1 conv stack -> per-subject SubjectLayers
+-> optional STFT branch -> subject-embedding concat -> per-input dilated
+ConvSequence encoders -> optional DualPathRNN -> final (linear /
+complex) 1x1 head -> crop to input length.
+
+Paper config (bm/conf/model/clip_conv.yaml): depth 10, hidden 320,
+kernel 3, dilation period 5, skip, GLU every 2 layers (context 1), GELU,
+batch norm, merger to 270 virtual channels with pos_dim 2048, initial
+linear 270, subject_layers, complex_out.
+
+TPU-native: channels-last [B, T, C] throughout, positions passed as
+arrays in the batch (no host-side layout lookups), pure flax module —
+the public __call__ takes (inputs, subject_index, positions, train).
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .common import (ChannelDropout, ChannelMerger, ConvSequence,
+                     DualPathRNN, ScaledEmbedding, SubjectLayers,
+                     get_activation, pad_multiple)
+
+
+class SimpleConv(nn.Module):
+    # channels
+    in_channels: tp.Mapping[str, int]
+    out_channels: int
+    hidden: tp.Mapping[str, int]
+    # overall structure
+    depth: int = 4
+    concatenate: bool = False
+    linear_out: bool = False
+    complex_out: bool = False
+    # conv layer
+    kernel_size: int = 5
+    growth: float = 1.
+    dilation_growth: int = 2
+    dilation_period: tp.Optional[int] = None
+    skip: bool = False
+    post_skip: bool = False
+    scale: tp.Optional[float] = None
+    rewrite: bool = False
+    groups: int = 1
+    glu: int = 0
+    glu_context: int = 0
+    glu_glu: bool = True
+    gelu: bool = False
+    # dual path rnn
+    dual_path: int = 0
+    # dropouts, BN, activations
+    conv_dropout: float = 0.0
+    dropout_input: float = 0.0
+    batch_norm: bool = False
+    relu_leakiness: float = 0.0
+    # subject-specific settings
+    n_subjects: int = 200
+    subject_dim: int = 64
+    subject_layers: bool = False
+    subject_layers_dim: str = "input"  # or "hidden"
+    subject_layers_id: bool = False
+    embedding_scale: float = 1.0
+    # stft branch
+    n_fft: tp.Optional[int] = None
+    fft_complex: bool = True
+    # spatial-attention multi-dataset support
+    merger: bool = False
+    merger_pos_dim: int = 256
+    merger_channels: int = 270
+    merger_dropout: float = 0.2
+    merger_penalty: float = 0.
+    merger_per_subject: bool = False
+    dropout: float = 0.
+    dropout_rescale: bool = True
+    initial_linear: int = 0
+    initial_depth: int = 1
+    initial_nonlin: bool = False
+    subsample_meg_channels: int = 0
+
+    @nn.compact
+    def __call__(self, inputs: tp.Mapping[str, jax.Array],
+                 subject_index: jax.Array, positions: jax.Array,
+                 train: bool = False) -> jax.Array:
+        """inputs: {'meg': [B, C, T], 'features': [B, F, T](encode task)};
+        positions: [B, C, 2]; returns [B, out_channels, T]."""
+        if set(self.in_channels.keys()) != set(self.hidden.keys()):
+            raise ValueError("in_channels and hidden keys must match "
+                             f"({set(self.in_channels)} vs {set(self.hidden)})")
+        assert self.kernel_size % 2 == 1, "odd kernel required for padding"
+        act = get_activation(self.gelu, self.relu_leakiness)
+        length = next(iter(inputs.values())).shape[-1]
+
+        # channels-last internally
+        inputs = {name: jnp.swapaxes(x, 1, 2) for name, x in inputs.items()}
+        in_channels = dict(self.in_channels)
+        hidden = dict(self.hidden)
+
+        meg = inputs.get("meg")
+        if meg is not None:
+            if self.subsample_meg_channels:
+                # deterministic sensor-subset ablation
+                # (bm/models/simpleconv.py:96-102, fixed seed 1234)
+                rng = np.random.RandomState(1234)
+                order = rng.permutation(in_channels["meg"])
+                keep = np.zeros(in_channels["meg"], dtype=np.float32)
+                keep[order[:self.subsample_meg_channels]] = 1.
+                meg = meg * jnp.asarray(keep)
+            if self.dropout > 0.:
+                meg = ChannelDropout(self.dropout, self.dropout_rescale)(
+                    meg, positions, train=train)
+            if self.merger:
+                meg = ChannelMerger(
+                    self.merger_channels, pos_dim=self.merger_pos_dim,
+                    dropout=self.merger_dropout,
+                    usage_penalty=self.merger_penalty,
+                    n_subjects=self.n_subjects,
+                    per_subject=self.merger_per_subject)(
+                        meg, positions, subject_index, train=train)
+                in_channels["meg"] = self.merger_channels
+            if self.initial_linear:
+                for d in range(self.initial_depth):
+                    if d > 0:
+                        meg = act(meg)
+                    meg = nn.Conv(self.initial_linear, (1,))(meg)
+                if self.initial_nonlin:
+                    meg = act(meg)
+                in_channels["meg"] = self.initial_linear
+            if self.subject_layers:
+                meg_dim = in_channels["meg"]
+                dim = {"hidden": hidden["meg"],
+                       "input": meg_dim}[self.subject_layers_dim]
+                meg = SubjectLayers(meg_dim, dim, self.n_subjects,
+                                    self.subject_layers_id)(
+                                        meg, subject_index)
+                in_channels["meg"] = dim
+            if self.n_fft is not None:
+                meg = self._stft(meg)
+                in_channels["meg"] = in_channels["meg"] * (
+                    self.n_fft // 2 + 1) * (2 if self.fft_complex else 1)
+            if self.subject_dim:
+                emb = ScaledEmbedding(self.n_subjects, self.subject_dim,
+                                      self.embedding_scale)(subject_index)
+                emb = jnp.broadcast_to(emb[:, None, :],
+                                       (meg.shape[0], meg.shape[1],
+                                        self.subject_dim))
+                meg = jnp.concatenate([meg, emb], axis=-1)
+                in_channels["meg"] += self.subject_dim
+            inputs = {**inputs, "meg": meg}
+
+        if self.concatenate:
+            ordered = [x for _, x in sorted(inputs.items())]
+            inputs = {"concat": jnp.concatenate(ordered, axis=-1)}
+            in_channels = {"concat": sum(in_channels.values())}
+            hidden = {"concat": sum(hidden.values())}
+
+        # per-branch channel schedules
+        sizes = {}
+        for name in in_channels:
+            sizes[name] = [in_channels[name]] + [
+                int(round(hidden[name] * self.growth ** k))
+                for k in range(self.depth)]
+
+        params: tp.Dict[str, tp.Any] = dict(
+            kernel=self.kernel_size, stride=1, leakiness=self.relu_leakiness,
+            dropout=self.conv_dropout, dropout_input=self.dropout_input,
+            batch_norm=self.batch_norm, dilation_growth=self.dilation_growth,
+            groups=self.groups, dilation_period=self.dilation_period,
+            skip=self.skip, post_skip=self.post_skip, scale=self.scale,
+            rewrite=self.rewrite, glu=self.glu, glu_context=self.glu_context,
+            glu_glu=self.glu_glu, activation=act)
+
+        final_channels = sum(s[-1] for s in sizes.values())
+        use_final = self.linear_out or self.complex_out
+        if not use_final:
+            assert len(sizes) == 1, \
+                "without linear/complex out there must be a single branch"
+            params["activation_on_last"] = False
+            list(sizes.values())[0][-1] = self.out_channels
+
+        encoded = {}
+        for name in sorted(inputs):
+            encoded[name] = ConvSequence(
+                tuple(sizes[name]), **params, name=f"encoder_{name}")(
+                    inputs[name], train=train)
+        x = jnp.concatenate([encoded[name] for name in sorted(encoded)],
+                            axis=-1)
+
+        if self.dual_path:
+            x = DualPathRNN(final_channels, self.dual_path)(x)
+
+        # final head; with an stft branch the head is a transposed conv
+        # undoing the hop (bm/models/simpleconv.py:173-189)
+        kernel, stride, pad = 1, 1, 0
+        if self.n_fft is not None:
+            kernel, stride, pad = self.n_fft, self.n_fft // 2, self.n_fft // 4
+        if self.linear_out:
+            assert not self.complex_out
+            x = nn.ConvTranspose(self.out_channels, (kernel,),
+                                 strides=(stride,),
+                                 padding=[(pad, pad)])(x)
+        elif self.complex_out:
+            x = nn.Conv(2 * final_channels, (1,))(x)
+            x = act(x)
+            x = nn.ConvTranspose(self.out_channels, (kernel,),
+                                 strides=(stride,),
+                                 padding=[(pad, pad)])(x)
+
+        assert x.shape[1] >= length, (x.shape, length)
+        return jnp.swapaxes(x[:, :length], 1, 2)
+
+    def _stft(self, meg: jax.Array) -> jax.Array:
+        """Spectrogram branch: [B, T, C] -> [B, T', C * freqs (*2)]."""
+        n_fft = self.n_fft
+        hop = n_fft // 2
+        B, T, C = meg.shape
+        x = jnp.swapaxes(meg, 1, 2).reshape(B * C, T)  # [B*C, T]
+        x = pad_multiple(x, hop, axis=-1)
+        x = jnp.pad(x, ((0, 0), (n_fft // 4, n_fft // 4)), mode="reflect")
+        # centered hann frames, normalized spectrogram
+        window = jnp.asarray(np.hanning(n_fft + 1)[:-1].astype(np.float32))
+        pad = n_fft // 2
+        xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+        n_frames = 1 + (xp.shape[-1] - n_fft) // hop
+        idx = (np.arange(n_frames)[:, None] * hop
+               + np.arange(n_fft)[None, :])
+        frames = xp[:, idx] * window
+        spec = jnp.fft.rfft(frames, axis=-1) / jnp.sqrt(jnp.sum(window ** 2))
+        if self.fft_complex:
+            z = jnp.stack([spec.real, spec.imag], axis=-1)
+            z = z.reshape(B, C, n_frames, -1)
+        else:
+            z = jnp.abs(spec)[..., None].reshape(B, C, n_frames, -1)
+        z = z.transpose(0, 2, 1, 3).reshape(B, n_frames, -1)
+        return z

@@ -62,9 +62,10 @@ def _resample_kernel(old_sr: int, new_sr: int, zeros: int, rolloff: float):
 
 
 @partial(jax.jit, static_argnames=("old_sr", "new_sr", "zeros", "rolloff",
-                                   "output_length"))
+                                   "output_length", "padded_length"))
 def _resample_impl(x: jax.Array, old_sr: int, new_sr: int, zeros: int,
-                   rolloff: float, output_length: int) -> jax.Array:
+                   rolloff: float, output_length: int,
+                   padded_length: int) -> jax.Array:
     kernel_np, width = _resample_kernel(old_sr, new_sr, zeros, rolloff)
     kernel = jnp.asarray(kernel_np)
     g = math.gcd(old_sr, new_sr)
@@ -72,7 +73,12 @@ def _resample_impl(x: jax.Array, old_sr: int, new_sr: int, zeros: int,
     shape = x.shape
     length = shape[-1]
     x2 = x.reshape(-1, 1, length)
-    x2 = jnp.pad(x2, ((0, 0), (0, 0), (width, width + old_g)), mode="edge")
+    # bucket the length (edge padding is numerically identical to the
+    # edge padding the conv applies anyway), so arbitrary input lengths
+    # share one compilation per bucket
+    x2 = jnp.pad(x2, ((0, 0), (0, 0),
+                      (width, padded_length - length + width + old_g)),
+                 mode="edge")
     # [N, new_g, T//old_g]: one conv produces every output phase
     ys = jax.lax.conv_general_dilated(
         x2, kernel, window_strides=(old_g,), padding="VALID",
@@ -96,7 +102,9 @@ def resample(x: jax.Array, old_sr: int, new_sr: int, *, zeros: int = 24,
         return x
     length = x.shape[-1]
     output_length = int(math.ceil(new_sr * length / old_sr))
-    return _resample_impl(x, old_sr, new_sr, zeros, rolloff, output_length)
+    padded_length = -(-length // old_sr) * old_sr  # 1s buckets
+    return _resample_impl(x, old_sr, new_sr, zeros, rolloff, output_length,
+                          padded_length)
 
 
 @lru_cache(maxsize=None)

@@ -1,0 +1,206 @@
+"""Model shape tests (mirrors bm/test_model.py coverage) + paper config."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from brainmagick_tpu.models import ConvRNN, DeepMel, SimpleConv
+
+
+def _batch(B=2, C=16, T=48, F=8, n_subjects=4, seed=0):
+    rng = np.random.RandomState(seed)
+    meg = jnp.asarray(rng.randn(B, C, T).astype(np.float32))
+    features = jnp.asarray(rng.randn(B, F, T).astype(np.float32))
+    subjects = jnp.asarray(rng.randint(0, n_subjects, B))
+    positions = jnp.asarray(rng.rand(B, C, 2).astype(np.float32))
+    return meg, features, subjects, positions
+
+
+class TestSimpleConv:
+    def _init_and_run(self, model, inputs, subjects, positions, train=False):
+        rngs = {"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1)}
+        variables = model.init(rngs, inputs, subjects, positions,
+                               train=False)
+        out, _ = model.apply(
+            variables, inputs, subjects, positions, train=train,
+            rngs={"dropout": jax.random.PRNGKey(2)},
+            mutable=["batch_stats", "losses"])
+        return out
+
+    def test_basic_shapes(self):
+        meg, _, subjects, positions = _batch()
+        model = SimpleConv(in_channels=dict(meg=16), out_channels=10,
+                           hidden=dict(meg=24), depth=2)
+        out = self._init_and_run(model, dict(meg=meg), subjects, positions)
+        assert out.shape == (2, 10, 48)
+
+    def test_paper_config_small(self):
+        """Paper architecture (clip_conv.yaml) at reduced width."""
+        meg, _, subjects, positions = _batch(C=20, T=61)
+        model = SimpleConv(
+            in_channels=dict(meg=20), out_channels=32,
+            hidden=dict(meg=48), depth=4, kernel_size=3,
+            dilation_period=5, skip=True, subject_layers=True,
+            subject_dim=0, complex_out=True, glu=2, glu_context=1,
+            merger=True, merger_channels=16, merger_pos_dim=32,
+            gelu=True, batch_norm=True, initial_linear=16, n_subjects=4)
+        out = self._init_and_run(model, dict(meg=meg), subjects, positions,
+                                 train=True)
+        assert out.shape == (2, 32, 61)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_encode_task_two_branches(self):
+        meg, features, subjects, positions = _batch()
+        model = SimpleConv(
+            in_channels=dict(meg=16, features=8), out_channels=16,
+            hidden=dict(meg=24, features=24), depth=2, linear_out=True,
+            n_subjects=4)
+        out = self._init_and_run(model, dict(meg=meg, features=features),
+                                 subjects, positions)
+        assert out.shape == (2, 16, 48)
+
+    def test_concatenate(self):
+        meg, features, subjects, positions = _batch()
+        model = SimpleConv(
+            in_channels=dict(meg=16, features=8), out_channels=16,
+            hidden=dict(meg=16, features=16), depth=2, concatenate=True,
+            linear_out=True, n_subjects=4)
+        out = self._init_and_run(model, dict(meg=meg, features=features),
+                                 subjects, positions)
+        assert out.shape == (2, 16, 48)
+
+    def test_invalid_positions_masked(self):
+        """Padded sensors must not contribute to merger output."""
+        from brainmagick_tpu.studies.api import INVALID_POSITION
+
+        meg, _, subjects, positions = _batch(C=16)
+        positions = positions.at[:, 8:].set(INVALID_POSITION)
+        meg_noise = meg.at[:, 8:].set(1e6)  # junk in padded channels
+        model = SimpleConv(in_channels=dict(meg=16), out_channels=4,
+                           hidden=dict(meg=8), depth=1, merger=True,
+                           merger_channels=8, merger_pos_dim=32,
+                           subject_dim=0, linear_out=True, n_subjects=4)
+        rngs = {"params": jax.random.PRNGKey(0)}
+        variables = model.init(rngs, dict(meg=meg), subjects, positions,
+                               train=False)
+        out1 = model.apply(variables, dict(meg=meg), subjects, positions)
+        out2 = model.apply(variables, dict(meg=meg_noise), subjects,
+                           positions)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                                   atol=1e-4)
+
+    def test_subject_layers_differ(self):
+        meg, _, subjects, positions = _batch(B=2)
+        model = SimpleConv(in_channels=dict(meg=16), out_channels=4,
+                           hidden=dict(meg=8), depth=1,
+                           subject_layers=True, subject_dim=0,
+                           linear_out=True, n_subjects=4)
+        variables = model.init({"params": jax.random.PRNGKey(0)},
+                               dict(meg=meg), subjects, positions)
+        out_a = model.apply(variables, dict(meg=meg),
+                            jnp.asarray([0, 0]), positions)
+        out_b = model.apply(variables, dict(meg=meg),
+                            jnp.asarray([1, 1]), positions)
+        assert np.abs(np.asarray(out_a) - np.asarray(out_b)).max() > 1e-4
+
+
+class TestConvRNN:
+    def test_shapes(self):
+        meg, features, subjects, positions = _batch(T=47)
+        model = ConvRNN(in_channels=dict(meg=16, features=8),
+                        out_channels=16, hidden=dict(meg=16, features=16),
+                        depth=2, lstm=1, n_subjects=4)
+        variables = model.init({"params": jax.random.PRNGKey(0)},
+                               dict(meg=meg, features=features), subjects,
+                               train=False)
+        out = model.apply(variables, dict(meg=meg, features=features),
+                          subjects)
+        assert out.shape == (2, 16, 47)
+
+    def test_attention(self):
+        meg, _, subjects, positions = _batch(T=40)
+        model = ConvRNN(in_channels=dict(meg=16), out_channels=8,
+                        hidden=dict(meg=16), depth=1, lstm=1, attention=1,
+                        heads=4, n_subjects=4)
+        variables = model.init({"params": jax.random.PRNGKey(0)},
+                               dict(meg=meg), subjects, train=False)
+        out, _ = model.apply(variables, dict(meg=meg), subjects,
+                             train=True, mutable=["batch_stats"])
+        assert out.shape == (2, 8, 40)
+
+
+class TestDeepMel:
+    def test_shapes(self):
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 40, 48).astype(np.float32))
+        model = DeepMel(n_in_channels=40, n_hidden_channels=32,
+                        n_hidden_layers=4, n_out_channels=24)
+        variables = model.init({"params": jax.random.PRNGKey(0)}, x,
+                               train=False)
+        out = model.apply(variables, x)
+        assert out.shape == (2, 24, 48)
+
+
+class TestClipLoss:
+    def test_identity_retrieval(self):
+        from brainmagick_tpu.losses import ClipLoss
+
+        rng = np.random.RandomState(0)
+        cand = jnp.asarray(rng.randn(6, 8, 20).astype(np.float32))
+        loss_mod = ClipLoss(dset_tmin=-0.5, dset_sample_rate=120.)
+        variables = loss_mod.init(jax.random.PRNGKey(0), cand, cand,
+                                  method=loss_mod.get_scores)
+        probs = loss_mod.apply(variables, cand, cand,
+                               method=loss_mod.get_probabilities)
+        # the matching candidate should dominate
+        assert (np.asarray(probs).argmax(axis=1) == np.arange(6)).all()
+        loss_val = loss_mod.apply(variables, cand, cand)
+        rand_est = jnp.asarray(rng.randn(6, 8, 20).astype(np.float32))
+        loss_rand = loss_mod.apply(variables, rand_est, cand)
+        assert float(loss_val) < float(loss_rand)
+
+    def test_extra_negatives_and_masks(self):
+        from brainmagick_tpu.losses import ClipLoss
+
+        rng = np.random.RandomState(0)
+        est = jnp.asarray(rng.randn(4, 8, 20).astype(np.float32))
+        cand = jnp.concatenate(
+            [est, jnp.asarray(rng.randn(6, 8, 20).astype(np.float32))])
+        loss_mod = ClipLoss()
+        variables = loss_mod.init(jax.random.PRNGKey(0), est, cand,
+                                  method=loss_mod.get_scores)
+        full = loss_mod.apply(variables, est, cand)
+        assert np.isfinite(float(full))
+        # candidate_weight masking the extra negatives == smaller pool
+        cw = jnp.asarray([1.] * 4 + [0.] * 6)
+        masked = loss_mod.apply(variables, est, cand, candidate_weight=cw)
+        only4 = loss_mod.apply(variables, est, cand[:4])
+        np.testing.assert_allclose(float(masked), float(only4), rtol=1e-5)
+        # sample_weight zeroes a row's contribution
+        sw = jnp.asarray([1., 1., 0., 1.])
+        w = loss_mod.apply(variables, est, cand, sample_weight=sw)
+        assert np.isfinite(float(w))
+
+
+def test_feature_decoding_loss():
+    from brainmagick_tpu.features import FeaturesBuilder
+    from brainmagick_tpu.losses import FeatureDecodingLoss
+    from brainmagick_tpu.studies.fake import make_fake_events
+    from brainmagick_tpu.utils import Frequency
+
+    events = make_fake_events(total_duration=30, seed=1234)
+    builder = FeaturesBuilder(events, ["WordLength", "Phoneme"],
+                              features_params={},
+                              sample_rate=Frequency(120.0))
+    loss_fn = FeatureDecodingLoss(builder)
+    rng = np.random.RandomState(0)
+    B, T = 3, 50
+    output, _, _ = builder(0.0, T / 120.0)
+    output = jnp.asarray(np.stack([output] * B))
+    estimate = jnp.asarray(
+        rng.randn(B, builder.output_dimension, T).astype(np.float32))
+    mask = jnp.ones((B, 1, T), dtype=bool)
+    val = loss_fn(estimate, output, mask)
+    assert np.isfinite(float(val)) and float(val) > 0
