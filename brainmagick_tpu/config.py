@@ -1,0 +1,319 @@
+"""Configuration: nested dataclasses with deterministic XP signatures.
+
+Replaces the reference's Hydra/OmegaConf + Dora stack (bm/conf/*.yaml,
+bm/train.py:171). Every field mirrors a key in the reference's
+conf/config.yaml (defaults preserved); presets reproduce the composed
+configs (clip_conv, convrnn, deep_mel ...).
+
+XP identity follows Dora's rule (README.md:145-154): the signature is a
+hash of the *non-default deltas* only, so adding new config keys with
+default values never changes existing signatures.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import typing as tp
+from dataclasses import dataclass, field
+from pathlib import Path
+
+
+def _dict(**kwargs: tp.Any) -> tp.Any:
+    # deep copy: nested dicts must never be shared across config instances
+    import copy
+    return field(default_factory=lambda: copy.deepcopy(kwargs))
+
+
+def _list(*items: tp.Any) -> tp.Any:
+    return field(default_factory=lambda: list(items))
+
+
+@dataclass
+class OptimConfig:
+    name: str = "adam"
+    lr: float = 3e-4
+    beta2: float = 0.999
+    epochs: int = 40
+    batch_size: int = 32
+    loss: str = "l1"                       # l1 | mse | clip | regression_classification
+    use_weighting: bool = False
+    max_batches: tp.Optional[int] = None
+    svd: float = 0.
+    negatives: tp.Optional[int] = None
+    negative_pool_size: tp.Optional[int] = None
+
+
+@dataclass
+class ClipConfig:
+    linear: tp.Optional[int] = None
+    twin: bool = True
+    pool: bool = False
+    tmin: tp.Optional[float] = None
+    tmax: tp.Optional[float] = None
+    tmin_train: tp.Optional[float] = None
+    tmax_train: tp.Optional[float] = None
+    center: bool = False
+    save_best: bool = True
+    sync_grad: bool = False
+
+
+@dataclass
+class TestEvalConfig:
+    wer_negatives: int = 10_000
+    wer_topx: int = 10
+    wer_random: bool = False
+    wer_recordings: int = 40
+    wer_study: tp.Optional[str] = None
+
+
+@dataclass
+class DsetTestOverride:
+    tmin: tp.Optional[float] = None
+    tmax: tp.Optional[float] = None
+    condition: tp.Optional[tp.Union[str, float]] = "word"
+
+
+@dataclass
+class DsetConfig:
+    selections: tp.List[str] = _list("gwilliams2022")
+    tmin: float = -0.5
+    tmax: float = 2.5
+    n_recordings: int = 1000
+    n_subjects: tp.Optional[int] = None
+    n_subjects_test: tp.Optional[int] = None
+    shuffle_recordings_seed: int = -1
+    skip_recordings: int = 0
+    test_ratio: float = 0.2
+    valid_ratio: float = 0.1
+    remove_ratio: float = 0.
+    condition: tp.Union[str, float] = 0.5
+    apply_baseline: bool = True
+    min_block_duration: float = 6.
+    force_uid_assignement: bool = False
+    min_n_blocks_per_split: int = 1
+    ignore_end_in_block: bool = False
+    ignore_start_in_block: bool = False
+    sample_rate: int = 120
+    highpass: float = 0.
+    event_mask: bool = True
+    split_wav_as_block: bool = True
+    allow_empty_split: bool = False
+    autoreject: bool = False
+    test: DsetTestOverride = field(default_factory=DsetTestOverride)
+    features: tp.List[str] = _list("Wav2VecTransformer")
+    extra_test_features: tp.List[str] = field(default_factory=list)
+    features_params: tp.Dict[str, tp.Any] = _dict(
+        MelSpectrum=dict(n_fft=512, n_mels=120, normalized=True,
+                         use_log_scale=True, log_scale_eps=1e-5),
+        Pitch=dict(min_f0=100, max_f0=350),
+        WordHash=dict(buckets=100000),
+        XlmEmbedding=dict(contextual=False),
+        WordEmbedding=dict(lang="auto"),
+        WordEmbeddingSmall=dict(lang="auto"),
+        PartOfSpeech=dict(lang="auto"),
+        Wav2VecTransformer=dict(layers=[14, 15, 16, 17, 18], device="cpu",
+                                random=False),
+        Wav2VecChunk=dict(device="cpu"),
+    )
+
+
+@dataclass
+class ScalerConfig:
+    per_channel: bool = False
+    n_samples_per_recording: int = 200
+    n_samples_features: tp.Optional[int] = 8000
+
+
+@dataclass
+class NormConfig:
+    scaler: ScalerConfig = field(default_factory=ScalerConfig)
+    max_scale: float = 20.
+    clip: bool = True
+    exclude_empty_features: bool = False
+
+
+@dataclass
+class TaskConfig:
+    type: str = "decode"       # decode | encode
+    meg_init: float = 0.3
+    lowpass: float = 0.
+    offset_meg_ms: float = 0.
+    lowpass_gt: bool = True
+    lowpass_gt_test: bool = False
+    mask_loss: bool = False
+
+
+# model hyperparameter dicts mirror bm/conf/model_defaults/defaults.yaml
+SIMPLECONV_DEFAULTS: tp.Dict[str, tp.Any] = dict(
+    concatenate=False, depth=4, linear_out=False, complex_out=False,
+    kernel_size=5, dilation_growth=2, dilation_period=None, skip=False,
+    post_skip=False, growth=1., scale=None, rewrite=False, groups=1,
+    glu=0, glu_context=0, glu_glu=True, gelu=False, dual_path=0,
+    conv_dropout=0.0, dropout_input=0.0, batch_norm=False,
+    relu_leakiness=0.0, subject_dim=64, subject_layers=False,
+    embedding_scale=1.0, subject_layers_dim="input",
+    subject_layers_id=False, n_fft=None, fft_complex=True, merger=False,
+    merger_pos_dim=256, merger_channels=270, merger_dropout=0.2,
+    merger_penalty=0., merger_per_subject=False, dropout=0.,
+    dropout_rescale=True, initial_linear=0, initial_depth=1,
+    initial_nonlin=False, subsample_meg_channels=0)
+
+CONVRNN_DEFAULTS: tp.Dict[str, tp.Any] = dict(
+    concatenate=False, depth=2, linear_out=False, complex_out=False,
+    kernel_size=4, stride=2, growth=1., lstm=4, bidirectional_lstm=False,
+    flip_lstm=False, attention=0, heads=4, conv_dropout=0.0,
+    lstm_dropout=0.0, dropout_input=0.0, batch_norm=False,
+    relu_leakiness=0.0, subject_dim=64, embedding_location=("lstm",),
+    embedding_scale=1.0, subject_layers=False, subject_layers_dim="input")
+
+
+@dataclass
+class ParallelConfig:
+    """Mesh/sharding knobs (no reference equivalent — the reference is
+    DDP-only, SURVEY.md §2.4)."""
+    data_axis: str = "data"
+    #: negatives stay within groups of this many devices to reproduce the
+    #: reference's per-GPU negative pools (README.md:139-143); 1 = fully
+    #: local, 0 = global (all_gather extension)
+    negatives_group_size: int = 1
+    donate_state: bool = True
+
+
+@dataclass
+class MainConfig:
+    num_prints: int = 5
+    device: str = "tpu"
+    num_workers: int = 2
+    verbose: int = 0
+    show: int = 0
+    download_only: bool = False
+    continue_sig: tp.Optional[str] = None
+    continue_best: bool = True
+    seed: int = 2036
+    dummy: tp.Optional[str] = None
+    cache: tp.Optional[str] = "./cache"
+    feature_models: tp.Optional[str] = "./features_models"
+    early_stop_patience: int = 10
+    eval_every: int = 1
+    eval_train_set: bool = False
+    out_dir: str = "./outputs"
+    model_name: str = "simpleconv"
+    feature_model_name: tp.Optional[str] = None
+    feature_model_params: tp.Dict[str, tp.Any] = field(default_factory=dict)
+    override_n_subjects_model: tp.Optional[int] = None
+    simpleconv: tp.Dict[str, tp.Any] = field(
+        default_factory=lambda: dict(SIMPLECONV_DEFAULTS))
+    convrnn: tp.Dict[str, tp.Any] = field(
+        default_factory=lambda: dict(CONVRNN_DEFAULTS))
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    clip: ClipConfig = field(default_factory=ClipConfig)
+    test: TestEvalConfig = field(default_factory=TestEvalConfig)
+    dset: DsetConfig = field(default_factory=DsetConfig)
+    norm: NormConfig = field(default_factory=NormConfig)
+    task: TaskConfig = field(default_factory=TaskConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    #: selection name -> selection dict (study + params); mirrors
+    #: conf/selections/selections_definitions.yaml
+    selections: tp.Dict[str, tp.Dict[str, tp.Any]] = _dict(
+        audio_mous=dict(study="schoffelen2019", modality="audio"),
+        audio_mous_wl=dict(study="schoffelen2019", modality="audio",
+                           events_filter='condition == "word_list"'),
+        visual_mous=dict(study="schoffelen2019", modality="visual"),
+        gwilliams2022=dict(study="gwilliams2022"),
+        broderick2019=dict(study="broderick2019"),
+        brennan2019=dict(study="brennan2019"),
+        fake=dict(study="fake"),
+    )
+
+    # -- identity -----------------------------------------------------------
+
+    # keys excluded from the signature (cosmetic, like dora.exclude)
+    _SIG_EXCLUDE = ("num_prints", "device", "num_workers", "verbose",
+                    "cache", "feature_models", "show", "out_dir",
+                    "download_only")
+
+    def delta(self) -> tp.Dict[str, tp.Any]:
+        """Non-default config deltas (flat dotted keys)."""
+        return _diff(dataclasses.asdict(self),
+                     dataclasses.asdict(MainConfig()),
+                     exclude=self._SIG_EXCLUDE)
+
+    @property
+    def sig(self) -> str:
+        """Deterministic experiment signature (Dora-style)."""
+        payload = json.dumps(self.delta(), sort_keys=True, default=str)
+        return hashlib.sha1(payload.encode()).hexdigest()[:8]
+
+    @property
+    def xp_folder(self) -> Path:
+        return Path(self.out_dir) / "xps" / self.sig
+
+
+#: marker for "this dict key was removed relative to the default config"
+DELETED = "__deleted__"
+
+
+def _diff(cfg: tp.Any, default: tp.Any, prefix: str = "",
+          exclude: tp.Tuple[str, ...] = ()) -> tp.Dict[str, tp.Any]:
+    out: tp.Dict[str, tp.Any] = {}
+    if isinstance(cfg, dict) and isinstance(default, dict):
+        for key in sorted(set(cfg) | set(default), key=str):
+            dotted = f"{prefix}{key}"
+            if dotted in exclude:
+                continue
+            if key not in cfg:
+                out[dotted] = DELETED
+                continue
+            sub = _diff(cfg.get(key), default.get(key), dotted + ".",
+                        exclude)
+            out.update(sub)
+        return out
+    if cfg != default:
+        out[prefix[:-1]] = cfg
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Presets (composed reference configs)
+# ---------------------------------------------------------------------------
+
+def apply_preset(cfg: MainConfig, name: str) -> MainConfig:
+    """Mutate cfg according to a named preset (reference conf/model/*.yaml
+    and conf/feature_model/*.yaml)."""
+    if name == "clip_conv":
+        cfg.model_name = "simpleconv"
+        cfg.simpleconv.update(
+            hidden=320, batch_norm=True, depth=10, dilation_period=5,
+            kernel_size=3, skip=True, subject_layers=True, subject_dim=0,
+            complex_out=True, glu=2, glu_context=1, merger=True,
+            initial_linear=270, gelu=True, merger_pos_dim=2048)
+        cfg.optim.loss = "clip"
+        cfg.optim.epochs = 200
+        cfg.optim.max_batches = 1200
+        cfg.optim.batch_size = 256
+        cfg.norm.clip = True
+        cfg.task.type = "decode"
+        cfg.task.offset_meg_ms = 150
+    elif name == "deep_mel":
+        cfg.feature_model_name = "deep_mel"
+        cfg.feature_model_params = dict(
+            n_hidden_channels=320, n_hidden_layers=10, n_out_channels=768,
+            kernel=3, stride=1, dilation_growth=2, dilation_period=5,
+            batch_norm=True, activation_on_last=False, skip=True,
+            glu_context=1, glu=2)
+    elif name == "convrnn":
+        cfg.model_name = "convrnn"
+        cfg.task.type = "encode"
+    else:
+        raise ValueError(f"Unknown preset {name}")
+    return cfg
+
+
+def simpleconv_kwargs(cfg: MainConfig) -> tp.Dict[str, tp.Any]:
+    """Config dict -> SimpleConv constructor kwargs (hidden becomes a
+    per-input mapping at model build time, see train.build_model)."""
+    kw = dict(cfg.simpleconv)
+    kw.pop("hidden", None)
+    return kw

@@ -238,6 +238,11 @@ class FeaturesBuilder(OrderedDict):
             mask[:, :] = True
         return data, mask, event_list
 
+    def __reduce__(self) -> tp.Any:
+        """Pickle as a plain object (OrderedDict subclasses otherwise
+        re-enter __init__ without arguments)."""
+        return object.__reduce__(self)
+
     def render_track(self, duration: float
                      ) -> tp.Tuple[np.ndarray, np.ndarray]:
         """Render the full [0, duration) feature track + mask once.

@@ -119,8 +119,9 @@ class ClipLoss(nn.Module):
             "need at least as many candidates as estimates"
         scores = self.get_scores(estimate, candidate, train=train)
         if candidate_weight is not None:
-            scores = jnp.where(candidate_weight[None, :] > 0, scores,
-                               -jnp.inf)
+            # large finite negative (not -inf): a zero-weight estimate row
+            # whose own candidate is also masked must stay NaN-free
+            scores = jnp.where(candidate_weight[None, :] > 0, scores, -1e30)
         logprobs = jax.nn.log_softmax(scores, axis=1)
         diag = jnp.diagonal(logprobs[:, :estimate.shape[0]])
         if sample_weight is None:

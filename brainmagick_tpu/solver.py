@@ -1,0 +1,652 @@
+"""Solver: the train/eval engine.
+
+Reference parity: bm/solver.py:29-448 — same responsibilities: loss and
+scaler construction (scaler disk-cached), loaders, negative pool, train
+loop with early stopping and best-state tracking, `_process_batch`
+(scale-reject -> offset_meg -> lowpass -> task wiring -> model ->
+feature_model), test dispatch (WER for CLIP, streaming correlations
+otherwise), `predict()` single-sample API, checkpoint/restore.
+
+TPU-native architecture: the whole per-batch pipeline — normalization,
+clamp/reject, meg offset, lowpass FIR, model forward, feature model,
+loss, gradients, optimizer update — is ONE jitted function with static
+shapes. Rejected samples are masked (zero loss weight + -inf candidate
+logits), not dropped, so shapes never change; the reference's "recycle
+the last good batch" DDP hack (bm/solver.py:345-352) disappears.
+Multi-chip: see parallel.make_sharded_step, which shards the batch over
+a mesh and keeps contrastive negatives per-shard like the reference
+keeps them per-GPU (README.md:139-143).
+"""
+
+from __future__ import annotations
+
+import logging
+import pickle
+import time
+import typing as tp
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .cache import Cache
+from .config import MainConfig
+from .dataset import SegmentBatch
+from .loader import Loader
+from .losses import ClipLoss, FeatureDecodingLoss, masked_l1, masked_l2
+from .norm import BatchScaler, ScaleReject
+from .ops import dsp
+from .svd import svd_penalty
+from .utils import write_and_rename
+
+logger = logging.getLogger(__name__)
+
+
+class Solver:
+
+    def __init__(self, args: MainConfig, datasets, model,
+                 feature_model=None, optimizer: tp.Optional[tp.Any] = None,
+                 ) -> None:
+        self.args = args
+        self.datasets = datasets
+        self.model = model
+        self.feature_model = feature_model
+        self.used_features = datasets.train.datasets[0].features
+        self.optimizer = optimizer  # optax GradientTransformation or None
+
+        self.history: tp.List[tp.Dict[str, tp.Dict[str, float]]] = []
+        self.best_state: tp.Optional[dict] = None
+        self.last_test_epoch = 0
+        self.best_epoch = 0
+        self.best_loss = float("inf")
+        self.epoch = 1
+        self._rejected = 0
+        self._seen = 0
+
+        self.folder = args.xp_folder
+        self.folder.mkdir(parents=True, exist_ok=True)
+        self.checkpoint_path = self.folder / "checkpoint.pkl"
+
+        # loss module (ClipLoss may own learnable projection params)
+        self.clip_loss: tp.Optional[ClipLoss] = None
+        self.feature_loss: tp.Optional[FeatureDecodingLoss] = None
+        if args.optim.loss == "clip":
+            self.clip_loss = ClipLoss(
+                linear=args.clip.linear, twin=args.clip.twin,
+                pool=args.clip.pool, center=args.clip.center,
+                tmin=args.clip.tmin, tmax=args.clip.tmax,
+                tmin_train=args.clip.tmin_train,
+                tmax_train=args.clip.tmax_train,
+                dset_tmin=args.dset.tmin,
+                dset_sample_rate=args.dset.sample_rate)
+
+        # scaler (fit on rank-0 equivalent: host, disk-cached)
+        self.scaler: tp.Optional[BatchScaler] = None
+        self.scaler_cache = Cache("scaler", (args.dset, args.norm))
+        self._init_scaler()
+        if args.optim.loss == "regression_classification":
+            self.feature_loss = FeatureDecodingLoss(
+                self.used_features,
+                self.scaler if args.optim.use_weighting else None)
+        self.scale_reject = ScaleReject(
+            self.scaler, args.norm.max_scale,
+            args.norm.exclude_empty_features, args.norm.clip)
+
+        self._init_loaders()
+        self._norm_arrays: tp.Optional[tp.Dict[str, jnp.ndarray]] = None
+        _ = self.norm_arrays  # materialize OUTSIDE any jit trace
+        self._init_state()
+        self.negative_pool = {name: None for name in ("train", "valid")}
+        self._jit_cache: tp.Dict[tp.Any, tp.Any] = {}
+
+        self.restore()
+        if optimizer is None and self.best_state is not None:
+            self._load_params(self.best_state)
+
+    # -- setup ----------------------------------------------------------------
+
+    def _init_scaler(self) -> None:
+        if self.scaler is None:
+            self.scaler = self.scaler_cache.get(self._fit_scaler)
+            path = self.scaler_cache.cache_path({})
+            logger.info("Scaler cache file %s", path)
+
+    def _fit_scaler(self) -> BatchScaler:
+        logger.info("Fitting scaler. Dataset size=%d samples.",
+                    len(self.datasets.train))
+        scaler = BatchScaler(
+            features_builder=self.used_features,
+            n_samples_per_recording=self.args.norm.scaler.n_samples_per_recording,
+            per_channel=self.args.norm.scaler.per_channel,
+            n_samples_features=self.args.norm.scaler.n_samples_features)
+        scaler.fit(self.datasets.train.datasets)
+        return scaler
+
+    def _init_loaders(self) -> None:
+        args = self.args
+        shuffled = {"train"}
+        if args.optim.max_batches:
+            shuffled.add("valid")
+        self.loaders = {
+            name: Loader(getattr(self.datasets, name),
+                         batch_size=args.optim.batch_size,
+                         shuffle=name in shuffled, seed=args.seed,
+                         drop_last=(name == "train"),
+                         num_workers=args.num_workers)
+            for name in ("train", "valid", "test")}
+
+    def make_loader(self, dataset, shuffle: bool = False) -> Loader:
+        return Loader(dataset, batch_size=self.args.optim.batch_size,
+                      shuffle=shuffle, seed=self.args.seed,
+                      num_workers=self.args.num_workers)
+
+    @property
+    def norm_arrays(self) -> tp.Dict[str, jnp.ndarray]:
+        if getattr(self, "_norm_arrays", None) is None:
+            n_rec = 1 + max(s.recording.recording_index
+                            for split in self.datasets
+                            for s in split.datasets)
+            n_chan = self.datasets.train[0].meg.shape[0]
+            arrays = self.scaler.export_arrays(n_rec, n_chan)
+            self._norm_arrays = {k: jnp.asarray(v)
+                                 for k, v in arrays.items()}
+        return self._norm_arrays
+
+    def _example_batch(self) -> SegmentBatch:
+        item = self.datasets.train[0]
+        return SegmentBatch.collate([item] * 2)
+
+    def _init_state(self) -> None:
+        """Initialize model / loss / feature-model parameters and the
+        optimizer state into one pytree."""
+        args = self.args
+        rng = jax.random.PRNGKey(args.seed)
+        batch = self._example_batch()
+        arrays = batch.to_device()
+        inputs, output, _, _ = self._task_wiring(
+            arrays["meg"], arrays["features"], arrays["features_mask"])
+        k_model, k_loss, k_fm, k_drop = jax.random.split(rng, 4)
+
+        variables = self.model.init(
+            {"params": k_model, "dropout": k_drop}, inputs,
+            arrays["subject_index"], arrays["positions"], train=False)
+        params = {"model": variables["params"]}
+        batch_stats = {"model": variables.get("batch_stats", {})}
+
+        if self.feature_model is not None:
+            fm_vars = self.feature_model.init(
+                {"params": k_fm}, output, train=False)
+            params["fm"] = fm_vars["params"]
+            batch_stats["fm"] = fm_vars.get("batch_stats", {})
+            # ground truth for the loss is the feature-model output
+            output = self.feature_model.apply(
+                {"params": params["fm"],
+                 **({"batch_stats": batch_stats["fm"]}
+                    if batch_stats["fm"] else {})}, output, train=False)
+
+        if self.clip_loss is not None:
+            loss_vars = self.clip_loss.init(
+                k_loss, output, output, method=self.clip_loss.get_scores)
+            params["loss"] = loss_vars.get("params", {})
+        else:
+            params["loss"] = {}
+
+        if self.optimizer is not None:
+            opt_state = self.optimizer.init(params)
+        else:
+            opt_state = ()
+        self.state = {"step": jnp.int32(0), "params": params,
+                      "batch_stats": batch_stats, "opt_state": opt_state}
+
+    # -- task wiring (static shapes) -------------------------------------------
+
+    def _offsets(self) -> tp.Tuple[int, int]:
+        args = self.args
+        off = int(args.task.offset_meg_ms / 1000 * args.dset.sample_rate)
+        return off, off
+
+    def _task_wiring(self, meg, features, features_mask,
+                     train: bool = False):
+        """Apply meg offset / lowpass / task input-output selection.
+        Returns (inputs dict, output, mask, limit)."""
+        args = self.args
+        sr = args.dset.sample_rate
+        if not args.task.mask_loss:
+            features_mask = jnp.ones_like(features_mask)
+        off_meg, off_feat = self._offsets()
+        if off_meg:
+            meg = meg[..., off_meg:]
+            features = features[..., :-off_feat]
+            features_mask = features_mask[..., :-off_feat]
+        meg_gt = meg
+        if args.task.lowpass:
+            meg = dsp.lowpass_filter(meg, args.task.lowpass / sr, zeros=5)
+            if (args.task.lowpass_gt and train) or args.task.lowpass_gt_test:
+                meg_gt = meg
+        if args.task.type == "decode":
+            limit = 0
+            inputs = dict(meg=meg)
+            output = features
+        elif args.task.type == "encode":
+            limit = int(args.task.meg_init * sr)
+            t = meg.shape[-1]
+            prompt = (jnp.arange(t) < limit).astype(meg.dtype)
+            inputs = dict(meg=meg * prompt, features=features)
+            output = meg_gt
+        else:
+            raise ValueError(f"Unknown task {args.task.type}")
+        return inputs, output, features_mask, limit
+
+    # -- the jitted step --------------------------------------------------------
+
+    def _forward(self, params, batch_stats, arrays, pad_weight, rng,
+                 train: bool):
+        """Full _process_batch equivalent on device. Returns
+        (estimate, output, mask, keep, new_batch_stats, penalty)."""
+        args = self.args
+        na = self.norm_arrays
+        meg = arrays["meg"]
+        features = arrays["features"]
+        rec = arrays["recording_index"]
+
+        # normalize (BatchScaler.transform)
+        meg = (meg - na["meg_center"][rec][:, :, None]) \
+            / na["meg_scale"][rec][:, :, None]
+        features = (features - na["feat_center"][None, :, None]) \
+            / na["feat_scale"][None, :, None]
+        # scale reject (static-shape: mask instead of drop)
+        limit_scale = args.norm.max_scale
+        if args.norm.clip:
+            meg = jnp.clip(meg, -limit_scale, limit_scale)
+        peak = jnp.abs(meg).reshape(meg.shape[0], -1).max(axis=-1)
+        keep = peak <= limit_scale
+        if args.norm.exclude_empty_features:
+            empty = arrays["features_mask"].reshape(
+                meg.shape[0], -1).sum(-1) == 0
+            keep = keep & ~empty
+        keep = keep.astype(jnp.float32) * pad_weight
+
+        inputs, output, mask, limit = self._task_wiring(
+            meg, features, arrays["features_mask"], train=train)
+
+        variables = {"params": params["model"]}
+        if batch_stats["model"]:
+            variables["batch_stats"] = batch_stats["model"]
+        mutable = []
+        if train and batch_stats["model"]:
+            mutable.append("batch_stats")
+        if train:
+            mutable.append("losses")
+        out = self.model.apply(
+            variables, inputs, arrays["subject_index"],
+            arrays["positions"], train=train,
+            rngs={"dropout": rng}, mutable=mutable if mutable else False)
+        estimate, mutated = out if mutable else (out, {})
+        new_bs = dict(batch_stats)
+        if "batch_stats" in mutated:
+            new_bs["model"] = mutated["batch_stats"]
+        penalty = jnp.float32(0.)
+        if "losses" in mutated:
+            for leaf in jax.tree_util.tree_leaves(mutated["losses"]):
+                penalty = penalty + jnp.sum(leaf)
+
+        if limit:
+            estimate = estimate[..., limit:]
+            output = output[..., limit:]
+            mask = mask[..., limit:]
+
+        if self.feature_model is not None:
+            fm_vars = {"params": params["fm"]}
+            if batch_stats["fm"]:
+                fm_vars["batch_stats"] = batch_stats["fm"]
+            fm_mutable = ["batch_stats"] if (train and batch_stats["fm"]) \
+                else []
+            fm_out = self.feature_model.apply(
+                fm_vars, output, train=train,
+                mutable=fm_mutable if fm_mutable else False)
+            if fm_mutable:
+                output, fm_mut = fm_out
+                new_bs["fm"] = fm_mut.get("batch_stats", batch_stats["fm"])
+            else:
+                output = fm_out
+
+        return estimate, output, mask, keep, new_bs, penalty
+
+    def _loss_value(self, params, estimate, output, mask, keep,
+                    negatives, negative_weight, train: bool):
+        args = self.args
+        if self.clip_loss is not None:
+            candidates = output
+            cand_weight = keep
+            if negatives is not None:
+                candidates = jnp.concatenate([output, negatives], axis=0)
+                cand_weight = jnp.concatenate([keep, negative_weight])
+            return self.clip_loss.apply(
+                {"params": params["loss"]}, estimate, candidates,
+                sample_weight=keep, candidate_weight=cand_weight,
+                train=train)
+        if self.feature_loss is not None:
+            return self.feature_loss(estimate, output, mask,
+                                     sample_weight=keep, train=train)
+        fn = {"l1": masked_l1, "mse": masked_l2}[args.optim.loss]
+        return fn(estimate, output, mask, sample_weight=keep)
+
+    def _build_step(self, train: bool, with_negatives: bool,
+                    return_output: bool):
+        """Build (and cache) the jitted step for this configuration."""
+        key = (train, with_negatives, return_output)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        svd_weight = self.args.optim.svd
+
+        def step(state, arrays, pad_weight, negatives, negative_weight,
+                 rng):
+            def loss_fn(params):
+                estimate, output, mask, keep, new_bs, penalty = \
+                    self._forward(params, state["batch_stats"], arrays,
+                                  pad_weight, rng, train)
+                loss = self._loss_value(params, estimate, output, mask,
+                                        keep, negatives, negative_weight,
+                                        train)
+                if train:
+                    loss = loss + penalty
+                    if svd_weight:
+                        loss = loss + svd_weight * svd_penalty(
+                            params["model"], _rng=_AlwaysApply())
+                aux = dict(keep=keep, new_bs=new_bs)
+                if return_output:
+                    aux["output"] = output
+                return loss, aux
+
+            if train:
+                (loss_val, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state["params"])
+                updates, opt_state = self.optimizer.update(
+                    grads, state["opt_state"], state["params"])
+                params = optax.apply_updates(state["params"], updates)
+                new_state = {"step": state["step"] + 1, "params": params,
+                             "batch_stats": aux["new_bs"],
+                             "opt_state": opt_state}
+            else:
+                loss_val, aux = loss_fn(state["params"])
+                new_state = state
+            metrics = {"loss": loss_val,
+                       "keep": aux["keep"].sum(),
+                       "count": pad_weight.sum()}
+            if return_output:
+                metrics["output"] = aux["output"]
+            return new_state, metrics
+
+        jitted = jax.jit(step, donate_argnums=(0,) if train else ())
+        self._jit_cache[key] = jitted
+        return jitted
+
+    # -- loop ---------------------------------------------------------------------
+
+    def _run_one_epoch(self, training: bool) -> tp.Dict[str, float]:
+        args = self.args
+        phase = "train" if training else "valid"
+        loader = self.loaders[phase]
+        loader.set_epoch(self.epoch - 1)
+        total = len(loader)
+        if args.optim.max_batches:
+            total = min(total, args.optim.max_batches)
+
+        n_neg = args.optim.negatives
+        with_negatives = n_neg is not None
+        if with_negatives:
+            assert args.optim.loss == "clip"
+            if args.optim.negative_pool_size is None:
+                args.optim.negative_pool_size = 2 * n_neg
+
+        step = self._build_step(training and self.optimizer is not None,
+                                with_negatives,
+                                return_output=with_negatives)
+        rng = jax.random.PRNGKey(args.seed + self.epoch * 1000
+                                 + (0 if training else 1))
+        losses = []
+        for idx, (batch, pad_weight) in enumerate(loader):
+            if idx >= total:
+                break
+            arrays = batch.to_device()
+            negatives, negative_weight = self._sample_negatives(
+                phase, arrays["features"].shape, n_neg,
+                batch_size=len(batch)) if with_negatives else (None, None)
+            rng, sub = jax.random.split(rng)
+            self.state, metrics = step(self.state, arrays,
+                                       jnp.asarray(pad_weight),
+                                       negatives, negative_weight, sub)
+            losses.append(float(metrics["loss"]))
+            self._seen += int(metrics["count"])
+            self._rejected += int(metrics["count"]) - int(metrics["keep"])
+            if with_negatives:
+                self._update_negative_pool(phase,
+                                           np.asarray(metrics["output"]))
+            if idx + 1 == total:
+                break
+        metrics = {"loss": float(np.mean(losses))}
+        if not training and metrics["loss"] < self.best_loss:
+            self.best_loss = metrics["loss"]
+            self.best_epoch = self.epoch
+            logger.info("New best valid loss %.4f", self.best_loss)
+            self.best_state = self._copy_params()
+        return metrics
+
+    def _sample_negatives(self, phase: str, feat_shape, n_negatives: int,
+                          batch_size: int):
+        """Top-up candidates from the negative pool to n_negatives
+        (bm/solver.py:359-371); zero-weight padding when the pool is
+        still small (static shapes)."""
+        n_extra = max(0, n_negatives - batch_size)
+        shape = (n_extra,) + tuple(feat_shape[1:])
+        out_t = self._output_time(feat_shape[-1])
+        shape = (n_extra, self._output_dim(feat_shape[1]), out_t)
+        buf = self.negative_pool[phase]
+        negatives = np.zeros(shape, dtype=np.float32)
+        weight = np.zeros(n_extra, dtype=np.float32)
+        if buf is not None and len(buf) and n_extra:
+            take = min(n_extra, len(buf))
+            sel = np.random.RandomState(self.epoch).permutation(
+                len(buf))[:take]
+            negatives[:take] = buf[sel]
+            weight[:take] = 1.
+        return jnp.asarray(negatives), jnp.asarray(weight)
+
+    def _output_time(self, feat_t: int) -> int:
+        off, off_f = self._offsets()
+        return feat_t - off_f if off_f else feat_t
+
+    def _output_dim(self, feat_dim: int) -> int:
+        if self.feature_model is not None:
+            return self.args.feature_model_params.get("n_out_channels",
+                                                      feat_dim)
+        return feat_dim
+
+    def _update_negative_pool(self, phase: str, outputs: np.ndarray) -> None:
+        pool_size = self.args.optim.negative_pool_size
+        buf = self.negative_pool[phase]
+        buf = outputs if buf is None else np.concatenate([outputs, buf])
+        self.negative_pool[phase] = buf[:pool_size]
+
+    def train(self) -> float:
+        args = self.args
+        if self.history:
+            logger.info("Replaying %d past epochs of metrics",
+                        len(self.history))
+        for epoch in range(self.epoch, args.optim.epochs + 1):
+            self.epoch = epoch
+            t0 = time.time()
+            stages = {}
+            stages["train"] = self._run_one_epoch(training=True)
+            stages["valid"] = self._run_one_epoch(training=False)
+
+            will_stop = epoch == args.optim.epochs
+            if args.early_stop_patience and \
+                    epoch >= self.best_epoch + args.early_stop_patience:
+                logger.warning("Early stopping after %d epochs without "
+                               "improvement.", args.early_stop_patience)
+                will_stop = True
+
+            if epoch % args.eval_every == 0 or will_stop:
+                if self.best_epoch > self.last_test_epoch:
+                    assert self.best_state is not None
+                    saved = self._copy_params()
+                    self._load_params(self.best_state)
+                    try:
+                        stages["test"] = self._test_one_epoch()
+                    finally:
+                        self._load_params(saved)
+                    self.last_test_epoch = epoch
+            logger.info(
+                "Epoch %d | %s | reject %.3f%% | %.1fs", epoch,
+                " | ".join(f"{k} loss {v.get('loss', float('nan')):.4f}"
+                           if "loss" in v else f"{k} {v}"
+                           for k, v in stages.items()),
+                100 * self.rejection_rate, time.time() - t0)
+            self.history.append(stages)
+            self.commit()
+            if will_stop:
+                break
+        return self.best_loss
+
+    @property
+    def rejection_rate(self) -> float:
+        return self._rejected / max(self._seen, 1)
+
+    # -- test dispatch ---------------------------------------------------------
+
+    def _test_one_epoch(self) -> tp.Dict[str, float]:
+        if self.clip_loss is not None:
+            from .wer import get_wer
+            return get_wer(self)
+        from .play import get_test_metrics
+        args = self.args
+        trim_offset = 0
+        if args.task.type == "encode":
+            time_offset = -args.dset.tmin - args.task.meg_init
+            trim_offset = int(args.dset.sample_rate * time_offset)
+        return get_test_metrics(self, trim_offset)
+
+    def get_metric_constructors(self):
+        """Test-metric factories per task/feature
+        (bm/solver.py:403-433)."""
+        from .metrics import ClassificationAcc, L2Reg, OnlineCorrelation
+        if self.args.task.type == "encode":
+            return [OnlineCorrelation.get_constructor(
+                slice(None), slice(None), "corr_meg")]
+        assert self.args.task.type == "decode"
+        constructors = []
+        for feature in self.used_features.values():
+            name = feature.name
+            sl = self.used_features.get_slice(name)
+            out_sl = self.used_features.get_slice(name, model_output=True)
+            if feature.categorical:
+                constructors.append(ClassificationAcc.get_constructor(
+                    out_sl, sl, name=f"acc_{name}"))
+            else:
+                constructors.append(L2Reg.get_constructor(
+                    sl, out_sl, name=f"l2_{name}"))
+                constructors.append(OnlineCorrelation.get_constructor(
+                    out_sl, sl, name=f"corr_{name}"))
+        return constructors
+
+    # -- inference ---------------------------------------------------------------
+
+    def process_batch(self, batch: SegmentBatch, training: bool = False
+                      ) -> tp.Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                    np.ndarray]:
+        """Host-facing _process_batch: returns (estimate, output,
+        features_mask, keep) as numpy (bm/solver.py:230-321 parity)."""
+        arrays = batch.to_device()
+        pad_weight = jnp.ones(len(batch), dtype=jnp.float32)
+        rng = jax.random.PRNGKey(0)
+        estimate, output, mask, keep, _, _ = self._forward(
+            self.state["params"], self.state["batch_stats"], arrays,
+            pad_weight, rng, train=training)
+        return (np.asarray(estimate), np.asarray(output), np.asarray(mask),
+                np.asarray(keep) > 0.5)
+
+    def predict(self, meg: tp.Optional[np.ndarray] = None,
+                features: tp.Optional[np.ndarray] = None,
+                subject_index: int = 0, recording_index: int = 0
+                ) -> np.ndarray:
+        """One prediction; zero MEG if not provided
+        (bm/solver.py:172-187)."""
+        assert features is not None
+        n_chan = self.datasets.train[0].meg.shape[0]
+        if meg is None:
+            meg = np.zeros((n_chan, features.shape[1]), dtype=np.float32)
+        positions = self.datasets.train.datasets[0]._get_positions()
+        batch = SegmentBatch(
+            meg=meg[None], features=features[None].astype(np.float32),
+            features_mask=np.ones((1, 1, features.shape[-1]), dtype=bool),
+            subject_index=np.asarray([subject_index], dtype=np.int32),
+            recording_index=np.asarray([recording_index], dtype=np.int32),
+            positions=positions[None])
+        estimate, *_ = self.process_batch(batch, training=False)
+        return estimate[0]
+
+    # -- state management ----------------------------------------------------------
+
+    def _copy_params(self) -> dict:
+        return jax.device_get({"params": self.state["params"],
+                               "batch_stats": self.state["batch_stats"]})
+
+    def _load_params(self, saved: dict) -> None:
+        self.state = {**self.state,
+                      "params": jax.device_put(saved["params"]),
+                      "batch_stats": jax.device_put(saved["batch_stats"])}
+
+    def commit(self) -> None:
+        """Checkpoint + metrics history (flashy commit parity)."""
+        payload = dict(
+            state=jax.device_get(self.state), best_state=self.best_state,
+            history=self.history, epoch=self.epoch + 1,
+            best_loss=self.best_loss, best_epoch=self.best_epoch,
+            last_test_epoch=self.last_test_epoch,
+            negative_pool=self.negative_pool, delta=self.args.delta())
+        with write_and_rename(self.checkpoint_path) as f:
+            pickle.dump(payload, f)
+        import json
+        with write_and_rename(self.folder / "history.json", "w") as f:
+            json.dump(self.history, f, indent=1, default=float)
+
+    def restore(self) -> bool:
+        """Resume from this XP's checkpoint, or warm-start from
+        continue_sig (bm/solver.py:104-118)."""
+        if self.checkpoint_path.exists():
+            with open(self.checkpoint_path, "rb") as f:
+                payload = pickle.load(f)
+            self.state = jax.device_put(payload["state"])
+            self.best_state = payload["best_state"]
+            self.history = payload["history"]
+            self.epoch = payload["epoch"]
+            self.best_loss = payload["best_loss"]
+            self.best_epoch = payload["best_epoch"]
+            self.last_test_epoch = payload["last_test_epoch"]
+            self.negative_pool = payload.get(
+                "negative_pool", {"train": None, "valid": None})
+            logger.info("Restored checkpoint at epoch %d", self.epoch)
+            return True
+        if self.args.continue_sig:
+            path = (self.folder.parent / self.args.continue_sig
+                    / self.checkpoint_path.name)
+            assert path.exists(), f"Could not find checkpoint {path}"
+            with open(path, "rb") as f:
+                payload = pickle.load(f)
+            source = payload["best_state"] if self.args.continue_best \
+                else {"params": payload["state"]["params"],
+                      "batch_stats": payload["state"]["batch_stats"]}
+            self._load_params(source)
+        return False
+
+
+class _AlwaysApply:
+    """Stand-in RNG that always applies the SVD penalty inside jit (the
+    stochastic skip is decided on the host, outside the trace)."""
+
+    def random(self) -> float:
+        return 0.

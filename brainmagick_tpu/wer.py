@@ -1,0 +1,140 @@
+"""In-training word-retrieval evaluation ("WER") for CLIP models.
+
+Reference parity: bm/wer.py:21-121 — pool test estimates/outputs, look up
+each segment's word hash at t≈0 (with ±2-sample neighbor fallback), rank
+every estimate against up to `wer_negatives` candidate outputs where the
+estimate's own output replaces the last negative, and report top-K error
+over samples and over the word vocabulary (probabilities scatter-added
+per unique hash), plus implicit soft-WER support.
+
+TPU-native: scoring is chunked on device — scores for a block of
+estimates against the shared negative pool are one einsum; the
+per-estimate own-output column is appended so each row's softmax matches
+the reference's negatives[-1]-replacement exactly.
+"""
+
+from __future__ import annotations
+
+import logging
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dataset import ConcatDataset
+
+logger = logging.getLogger(__name__)
+
+
+def _lookup_word_hash(word_hash: np.ndarray, check_at: int) -> np.ndarray:
+    """Word hash at the event sample, falling back to +-1/+-2 neighbors
+    (bm/wer.py:56-65)."""
+    wh = word_hash[:, check_at]
+    for offset in (-1, 1, -2, 2):
+        idx = check_at + offset
+        if 0 <= idx < word_hash.shape[1]:
+            wh = np.where(wh == 0, word_hash[:, idx], wh)
+    assert (wh != 0).all(), "missing word hash at segment onset"
+    return wh
+
+
+def get_wer(solver, dataset: tp.Optional[tp.Any] = None
+            ) -> tp.Dict[str, float]:
+    args = solver.args
+    test_args = args.test
+    if dataset is None:
+        datasets = solver.datasets.test.datasets
+        if test_args.wer_study is not None:
+            datasets = [d for d in datasets
+                        if d.recording.study_name() == test_args.wer_study]
+        if test_args.wer_recordings is not None:
+            datasets = datasets[:test_args.wer_recordings]
+        dataset = ConcatDataset(datasets)
+    loader = solver.make_loader(dataset, shuffle=True)
+    test_features = solver.datasets.test.datasets[0].features
+
+    tmin = args.dset.test.tmin
+    if tmin is None:
+        tmin = args.dset.tmin
+    check_at = int((-tmin) * args.dset.sample_rate) + 2
+
+    estimates_list, outputs_list, hashes_list = [], [], []
+    hash_slice = test_features.get_slice("WordHash")
+    used_names = list(solver.used_features.keys())
+    for batch, pad_weight in loader:
+        valid = pad_weight > 0
+        word_hash = batch.features[:, hash_slice][:, 0]
+        features = test_features.extract_features(batch.features, used_names)
+        estimate, output, _, keep = solver.process_batch(
+            batch.replace(features=features))
+        keep = keep & valid
+        if keep.any():
+            estimates_list.append(estimate[keep])
+            outputs_list.append(output[keep])
+            hashes_list.append(_lookup_word_hash(word_hash[keep], check_at))
+    estimates = np.concatenate(estimates_list)
+    outputs = np.concatenate(outputs_list)
+    word_hashes = np.concatenate(hashes_list).astype(np.int64)
+
+    if test_args.wer_negatives:
+        perm = np.random.permutation(len(outputs))
+        kept = perm[:test_args.wer_negatives]
+        negatives, negative_hashes = outputs[kept], word_hashes[kept]
+    else:
+        negatives, negative_hashes = outputs, word_hashes
+    logger.info("wer: %d negatives selected", len(negatives))
+
+    if test_args.wer_random:
+        estimates = np.random.randn(*estimates.shape).astype(np.float32)
+
+    # the estimate's own output replaces the last negative -> the fixed
+    # pool is negatives[:-1] and each row gets its own extra column
+    fixed = jnp.asarray(negatives[:-1])
+    fixed_hashes = negative_hashes[:-1]
+    loss_params = {"params": solver.state["params"]["loss"]}
+    clip = solver.clip_loss
+
+    @jax.jit
+    def chunk_scores(est, own):
+        scores_fixed = clip.apply(loss_params, est, fixed,
+                                  method=clip.get_scores)
+        own_scores = jax.vmap(
+            lambda e, o: clip.apply(loss_params, e[None], o[None],
+                                    method=clip.get_scores)[0, 0]
+        )(est, own)
+        scores = jnp.concatenate([scores_fixed, own_scores[:, None]],
+                                 axis=1)
+        return jax.nn.softmax(scores, axis=1)
+
+    topx = test_args.wer_topx
+    correct = 0.
+    correct_vocab = 0.
+    soft_correct = 0.
+    chunk = 64
+    n = len(estimates)
+    for lo in range(0, n, chunk):
+        est = estimates[lo:lo + chunk]
+        own = outputs[lo:lo + chunk]
+        wh = word_hashes[lo:lo + chunk]
+        pad = chunk - len(est)
+        if pad:
+            est = np.concatenate([est, est[-1:].repeat(pad, 0)])
+            own = np.concatenate([own, own[-1:].repeat(pad, 0)])
+        probas = np.asarray(chunk_scores(jnp.asarray(est),
+                                         jnp.asarray(own)))[:len(wh)]
+        hashes_row = np.concatenate([fixed_hashes, [0]])  # own filled per row
+        for r in range(len(wh)):
+            hashes_row[-1] = wh[r]
+            p = probas[r]
+            best = np.argpartition(p, -topx)[-topx:]
+            correct += float((hashes_row[best] == wh[r]).any())
+            vocab, inv = np.unique(hashes_row, return_inverse=True)
+            p_vocab = np.bincount(inv, weights=p)
+            bests_vocab = np.argpartition(p_vocab, -topx)[-topx:]
+            correct_vocab += float((vocab[bests_vocab] == wh[r]).any())
+            soft_correct += float(p[hashes_row == wh[r]].sum())
+    correct /= n
+    correct_vocab /= n
+    soft_correct /= n
+    return {"wer": 1 - correct, "wer_vocab": 1 - correct_vocab}

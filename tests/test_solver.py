@@ -1,0 +1,125 @@
+"""End-to-end solver tests on the fake study (mirrors bm/test_play.py)."""
+
+import numpy as np
+import pytest
+
+from brainmagick_tpu import train as bm_train
+from brainmagick_tpu.config import MainConfig
+
+
+def tiny_args(tmp_cache, tmp_path, loss="clip", task="decode",
+              features=("MelSpectrum",), epochs=2) -> MainConfig:
+    args = MainConfig()
+    args.cache = str(tmp_cache)
+    args.out_dir = str(tmp_path / "outputs")
+    args.num_workers = 2
+    args.seed = 1234
+    args.dset.selections = ["fake"]
+    args.dset.n_recordings = 2
+    args.dset.features = list(features)
+    args.dset.features_params = {"MelSpectrum": {"n_mels": 8}}
+    args.dset.test_ratio = 0.3
+    args.dset.valid_ratio = 0.2
+    args.dset.min_n_blocks_per_split = 1
+    args.dset.tmin = -0.2
+    args.dset.tmax = 1.0
+    args.dset.condition = 1.0
+    args.dset.sample_rate = 120
+    args.optim.loss = loss
+    args.optim.epochs = epochs
+    args.optim.batch_size = 8
+    args.optim.lr = 1e-3
+    args.task.type = task
+    args.task.offset_meg_ms = 50 if task == "decode" else 0
+    args.test.wer_negatives = 50
+    args.test.wer_topx = 3
+    args.simpleconv.update(
+        hidden=24, depth=2, kernel_size=3, dilation_period=2, skip=True,
+        glu=2, glu_context=1, merger=True, merger_channels=16,
+        merger_pos_dim=32, initial_linear=16, gelu=True, batch_norm=True,
+        subject_layers=True, subject_dim=0, complex_out=True)
+    args.eval_every = 1
+    args.early_stop_patience = 10
+    return args
+
+
+@pytest.mark.slow
+def test_train_decode_clip(tmp_cache, tmp_path):
+    args = tiny_args(tmp_cache, tmp_path)
+    solver = bm_train.get_solver(args)
+    best = solver.train()
+    assert np.isfinite(best)
+    assert len(solver.history) == 2
+    assert "test" in solver.history[-1] or "test" in solver.history[0]
+    wers = [h["test"]["wer"] for h in solver.history if "test" in h]
+    assert wers and all(0 <= w <= 1 for w in wers)
+    # training reduces train loss
+    assert solver.history[-1]["train"]["loss"] \
+        < solver.history[0]["train"]["loss"] + 1.0
+    assert solver.checkpoint_path.exists()
+
+    # reload from signature: same best state
+    from brainmagick_tpu import play
+    solver2 = play.get_solver_from_sig(args.sig, out_dir=args.out_dir,
+                                       training=False)
+    import jax
+    h1 = bm_train.model_hash(
+        jax.device_get(solver2.state["params"]["model"]))
+    assert solver2.best_state is not None
+    # predict API (test split carries the extra WordHash channel; predict
+    # expects the model's input features)
+    feats_all = solver2.datasets.test[0].features
+    test_builder = solver2.datasets.test.datasets[0].features
+    feats = test_builder.extract_features(
+        feats_all[None], list(solver2.used_features.keys()))[0]
+    estimate = solver2.predict(features=feats)
+    assert estimate.shape[-1] == feats.shape[-1] - solver2._offsets()[0]
+    assert np.isfinite(estimate).all()
+
+
+@pytest.mark.slow
+def test_train_regression_metrics(tmp_cache, tmp_path):
+    args = tiny_args(tmp_cache, tmp_path, loss="regression_classification",
+                     features=("WordLength", "WordSegment"), epochs=1)
+    args.task.offset_meg_ms = 0
+    solver = bm_train.get_solver(args)
+    solver.train()
+    test_metrics = [h["test"] for h in solver.history if "test" in h]
+    assert test_metrics
+    keys = set(test_metrics[-1])
+    assert "corr_WordLength" in keys
+    assert "acc_WordSegment" in keys
+    acc = test_metrics[-1]["acc_WordSegment"]
+    assert 0 <= acc <= 1
+
+
+@pytest.mark.slow
+def test_train_encode(tmp_cache, tmp_path):
+    args = tiny_args(tmp_cache, tmp_path, loss="mse", task="encode",
+                     features=("WordLength",), epochs=1)
+    solver = bm_train.get_solver(args)
+    solver.train()
+    test_metrics = [h["test"] for h in solver.history if "test" in h]
+    assert test_metrics and "corr_meg" in test_metrics[-1]
+
+
+@pytest.mark.slow
+def test_checkpoint_resume(tmp_cache, tmp_path):
+    args = tiny_args(tmp_cache, tmp_path, loss="mse", task="decode",
+                     features=("WordLength",), epochs=1)
+    solver = bm_train.get_solver(args)
+    solver.train()
+    # identical config -> same sig -> restore at epoch 2, nothing to train
+    args2 = tiny_args(tmp_cache, tmp_path, loss="mse", task="decode",
+                      features=("WordLength",), epochs=1)
+    assert args2.sig == args.sig
+    solver2 = bm_train.get_solver(args2)
+    assert solver2.epoch == 2
+    assert len(solver2.history) == 1
+    # warm start into a new XP via continue_sig
+    args3 = tiny_args(tmp_cache, tmp_path, loss="mse", task="decode",
+                      features=("WordLength",), epochs=2)
+    args3.continue_sig = args.sig
+    assert args3.sig != args.sig
+    solver3 = bm_train.get_solver(args3)
+    assert solver3.epoch == 1  # fresh XP, warm-started weights
