@@ -1,0 +1,155 @@
+"""Launcher + explorer abstractions (Dora-free).
+
+Reference parity: the Dora launcher API used by bm/grids/* — `bind`
+returns a sub-launcher with extra overrides, `bind_` mutates in place,
+calling the launcher schedules one XP, `job_array()` groups jobs,
+`slurm_` records scheduling hints (kept as metadata).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import typing as tp
+from dataclasses import dataclass, field
+
+from ..config import MainConfig
+from ..train import parse_overrides
+
+
+def _merge(base: tp.Dict[str, tp.Any],
+           overrides: tp.Mapping[str, tp.Any]) -> None:
+    """Merge overrides into base; `model=`/`feature_model=` keys compose
+    as presets (like dora config groups) and accumulate in a list."""
+    for key, val in overrides.items():
+        if key in ("model", "feature_model"):
+            presets = list(base.get("preset", []))
+            if val not in presets:
+                presets.append(val)
+            base["preset"] = presets
+        else:
+            base[key] = val
+
+
+@dataclass
+class Job:
+    overrides: tp.Dict[str, tp.Any]
+    slurm: tp.Dict[str, tp.Any] = field(default_factory=dict)
+
+    def to_config(self, base: tp.Optional[MainConfig] = None) -> MainConfig:
+        args = base or MainConfig()
+        tokens = []
+        # presets first (they set whole groups), then scalar overrides
+        items = sorted(self.overrides.items(),
+                       key=lambda kv: kv[0] != "preset")
+        for key, val in items:
+            if key == "preset":
+                for preset in (val if isinstance(val, list) else [val]):
+                    tokens.append(f"preset={preset}")
+            else:
+                tokens.append(f"{key}={val!r}")
+        return parse_overrides(tokens, args)
+
+    @property
+    def sig(self) -> str:
+        return self.to_config().sig
+
+
+class Launcher:
+    """Collects jobs; `bind` layers overrides hierarchically."""
+
+    def __init__(self, jobs: tp.Optional[tp.List[Job]] = None,
+                 overrides: tp.Optional[tp.Dict[str, tp.Any]] = None,
+                 slurm: tp.Optional[tp.Dict[str, tp.Any]] = None) -> None:
+        self.jobs: tp.List[Job] = jobs if jobs is not None else []
+        self._overrides = dict(overrides or {})
+        self._slurm = dict(slurm or {})
+        self._seen: tp.Set[str] = set()
+
+    def bind(self, *override_dicts: tp.Mapping[str, tp.Any],
+             **kwargs: tp.Any) -> "Launcher":
+        merged = dict(self._overrides)
+        merged["preset"] = list(merged.get("preset", []))
+        for d in override_dicts:
+            _merge(merged, d)
+        _merge(merged, kwargs)
+        child = Launcher(self.jobs, merged, self._slurm)
+        child._seen = self._seen
+        return child
+
+    def bind_(self, *override_dicts: tp.Mapping[str, tp.Any],
+              **kwargs: tp.Any) -> None:
+        for d in override_dicts:
+            _merge(self._overrides, d)
+        _merge(self._overrides, kwargs)
+
+    def slurm_(self, **kwargs: tp.Any) -> None:
+        self._slurm.update(kwargs)
+
+    @contextlib.contextmanager
+    def job_array(self) -> tp.Iterator[None]:
+        yield  # grouping hint only; jobs run wherever the runner decides
+
+    def __call__(self, *override_dicts: tp.Mapping[str, tp.Any],
+                 **kwargs: tp.Any) -> Job:
+        merged = dict(self._overrides)
+        merged["preset"] = list(merged.get("preset", []))
+        for d in override_dicts:
+            _merge(merged, d)
+        _merge(merged, kwargs)
+        if not merged["preset"]:
+            del merged["preset"]
+        job = Job(overrides=merged, slurm=dict(self._slurm))
+        sig = job.sig
+        if sig not in self._seen:  # dedup identical XPs (dora semantics)
+            self._seen.add(sig)
+            self.jobs.append(job)
+        return job
+
+
+class Explorer:
+    """Decorator recording the grid function + its metric table."""
+
+    test_metrics: tp.List[str] = []
+
+    def __init__(self, fn: tp.Callable[[Launcher], None]) -> None:
+        self.fn = fn
+        self.__name__ = fn.__name__
+
+    def __call__(self, launcher: Launcher) -> None:
+        self.fn(launcher)
+
+    # -- metric table ---------------------------------------------------------
+
+    def process_history(self, history: tp.List[dict]) -> dict:
+        """history.json entries -> one summary dict per XP
+        (bm/grids/_explorers.py:48-67)."""
+        stages: tp.Dict[str, tp.Dict[str, tp.Any]] = {
+            "train": {"epoch": len(history)}}
+        best = float("inf")
+        for metrics in history:
+            for stage_name, stage_metrics in metrics.items():
+                stages.setdefault(stage_name, {}).update(stage_metrics)
+            if "valid" in stages and "loss" in stages["valid"]:
+                best = min(best, stages["valid"]["loss"])
+                stages["valid"]["best"] = best
+        return stages
+
+    def table_row(self, sig: str, history: tp.List[dict]) -> tp.Dict[str, str]:
+        stages = self.process_history(history)
+        row = {"sig": sig,
+               "epoch": str(stages["train"].get("epoch", "")),
+               "train": f"{stages['train'].get('loss', float('nan')):.4f}",
+               "valid": f"{stages.get('valid', {}).get('loss', float('nan')):.4f}",
+               "best": f"{stages.get('valid', {}).get('best', float('nan')):.4f}"}
+        for name in self.test_metrics:
+            val = stages.get("test", {}).get(name)
+            row[name] = f"{val:.3f}" if val is not None else "-"
+        return row
+
+
+class BMExplorer(Explorer):
+    test_metrics: tp.List[str] = []
+
+
+class ClipExplorer(BMExplorer):
+    test_metrics = ["wer", "wer_vocab"]

@@ -98,6 +98,9 @@ class Solver:
         self._norm_arrays: tp.Optional[tp.Dict[str, jnp.ndarray]] = None
         _ = self.norm_arrays  # materialize OUTSIDE any jit trace
         self._init_state()
+        #: optional jax.sharding.Mesh for data-parallel training
+        #: (set_mesh); None = single device
+        self.mesh = None
         self.negative_pool = {name: None for name in ("train", "valid")}
         self._jit_cache: tp.Dict[tp.Any, tp.Any] = {}
 
@@ -333,33 +336,96 @@ class Solver:
         fn = {"l1": masked_l1, "mse": masked_l2}[args.optim.loss]
         return fn(estimate, output, mask, sample_weight=keep)
 
+    def set_mesh(self, mesh) -> None:
+        """Enable data-parallel training over a jax.sharding.Mesh; the
+        batch is sharded over the mesh's first axis and contrastive
+        negatives stay per-shard, matching the reference's per-GPU
+        negative pools (README.md:139-143, SURVEY.md §2.4)."""
+        self.mesh = mesh
+        self._jit_cache.clear()
+
+    def _loss_and_aux(self, params, batch_stats, arrays, pad_weight,
+                      negatives, negative_weight, rng, train: bool,
+                      return_output: bool):
+        """Forward + loss on (a shard of) the batch."""
+        estimate, output, mask, keep, new_bs, penalty = self._forward(
+            params, batch_stats, arrays, pad_weight, rng, train)
+        loss = self._loss_value(params, estimate, output, mask, keep,
+                                negatives, negative_weight, train)
+        if train:
+            loss = loss + penalty
+            if self.args.optim.svd:
+                loss = loss + self.args.optim.svd * svd_penalty(
+                    params["model"], _rng=_AlwaysApply())
+        aux = dict(keep=keep.sum(), new_bs=new_bs)
+        if return_output:
+            aux["output"] = output
+        return loss, aux
+
     def _build_step(self, train: bool, with_negatives: bool,
                     return_output: bool):
-        """Build (and cache) the jitted step for this configuration."""
-        key = (train, with_negatives, return_output)
+        """Build (and cache) the jitted step for this configuration.
+
+        Single-device: plain jit. With a mesh: the loss is computed under
+        shard_map — each device sees only its batch/negative shard (the
+        CLIP softmax runs over LOCAL candidates only) and losses/stats
+        are pmean'd, so gradients are synchronized exactly like DDP
+        all-reduce (bm/solver.py:386) while preserving the per-replica
+        contrastive dynamics the paper depends on.
+        """
+        key = (train, with_negatives, return_output, self.mesh)
         if key in self._jit_cache:
             return self._jit_cache[key]
 
-        svd_weight = self.args.optim.svd
+        mesh = self.mesh
+        if mesh is not None:
+            from functools import partial as _partial
+
+            from jax.sharding import PartitionSpec as P
+            shard_map = _partial(jax.shard_map, check_vma=False)
+            axis = mesh.axis_names[0]
+            batch_spec = {name: P(axis) for name in SegmentBatch.ARRAY_FIELDS}
+
+            def sharded_loss(params, batch_stats, arrays, pad_weight,
+                             negatives, negative_weight, rngs):
+                def local(params, batch_stats, arrays, pad_weight,
+                          negatives, negative_weight, rngs):
+                    loss, aux = self._loss_and_aux(
+                        params, batch_stats, arrays, pad_weight, negatives,
+                        negative_weight, rngs[0], train, return_output)
+                    loss = jax.lax.pmean(loss, axis)
+                    aux["keep"] = jax.lax.psum(aux["keep"], axis)
+                    aux["new_bs"] = jax.tree_util.tree_map(
+                        lambda x: jax.lax.pmean(x, axis), aux["new_bs"])
+                    return loss, aux
+
+                neg_spec = P(axis) if negatives is not None else P()
+                out_aux_spec = dict(keep=P(), new_bs=P())
+                if return_output:
+                    out_aux_spec["output"] = P(axis)
+                return shard_map(
+                    local, mesh=mesh,
+                    in_specs=(P(), P(), batch_spec, P(axis), neg_spec,
+                              neg_spec, P(axis)),
+                    out_specs=(P(), out_aux_spec),
+                )(params, batch_stats, arrays, pad_weight, negatives,
+                  negative_weight, rngs)
 
         def step(state, arrays, pad_weight, negatives, negative_weight,
                  rng):
-            def loss_fn(params):
-                estimate, output, mask, keep, new_bs, penalty = \
-                    self._forward(params, state["batch_stats"], arrays,
-                                  pad_weight, rng, train)
-                loss = self._loss_value(params, estimate, output, mask,
-                                        keep, negatives, negative_weight,
-                                        train)
-                if train:
-                    loss = loss + penalty
-                    if svd_weight:
-                        loss = loss + svd_weight * svd_penalty(
-                            params["model"], _rng=_AlwaysApply())
-                aux = dict(keep=keep, new_bs=new_bs)
-                if return_output:
-                    aux["output"] = output
-                return loss, aux
+            if mesh is not None:
+                rngs = jax.random.split(rng, mesh.size)
+
+                def loss_fn(params):
+                    return sharded_loss(params, state["batch_stats"],
+                                        arrays, pad_weight, negatives,
+                                        negative_weight, rngs)
+            else:
+                def loss_fn(params):
+                    return self._loss_and_aux(
+                        params, state["batch_stats"], arrays, pad_weight,
+                        negatives, negative_weight, rng, train,
+                        return_output)
 
             if train:
                 (loss_val, aux), grads = jax.value_and_grad(
@@ -374,7 +440,7 @@ class Solver:
                 loss_val, aux = loss_fn(state["params"])
                 new_state = state
             metrics = {"loss": loss_val,
-                       "keep": aux["keep"].sum(),
+                       "keep": aux["keep"],
                        "count": pad_weight.sum()}
             if return_output:
                 metrics["output"] = aux["output"]

@@ -1,0 +1,47 @@
+"""Offline segment-retrieval eval test (run_eval_probs.py parity)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from brainmagick_tpu import eval as bm_eval
+from brainmagick_tpu import train as bm_train
+
+from test_solver import tiny_args
+
+
+@pytest.mark.slow
+def test_run_eval(tmp_cache, tmp_path):
+    args = tiny_args(tmp_cache, tmp_path, epochs=1)
+    solver = bm_train.get_solver(args)
+    solver.train()
+
+    out_dir = tmp_path / "eval_out"
+    df = bm_eval.run_eval(solver, out_dir, probs_batch_size=16)
+    assert list(df.index) == [1, 5, 10]
+    assert ((df.acc_segment >= 0) & (df.acc_segment <= 1)).all()
+    # top-k accuracy is monotonic in k
+    assert df.acc_segment.loc[10] >= df.acc_segment.loc[1]
+    assert (out_dir / "probs_segment.npy").exists()
+    assert (out_dir / "acc.csv").exists()
+    probs = np.load(out_dir / "probs_segment.npy")
+    # rows are probability distributions over candidate segments
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-3)
+    meta = pd.read_csv(out_dir / "metadata.csv")
+    assert len(meta) == probs.shape[0]
+    # candidates are deduplicated by segment hash
+    vocab = np.load(out_dir / "vocab_segment.npy")
+    assert len(np.unique(vocab)) == len(vocab)
+    assert probs.shape[1] == len(vocab)
+
+
+def test_accuracy_from_probs():
+    probs = np.array([[0.6, 0.3, 0.1],
+                      [0.1, 0.8, 0.1],
+                      [0.2, 0.3, 0.5]])
+    vocab = np.array([10, 20, 30])
+    targets = np.array([10, 30, 30])
+    assert bm_eval.accuracy_from_probs(probs, targets, vocab, topk=1) \
+        == pytest.approx(2 / 3)
+    assert bm_eval.accuracy_from_probs(probs, targets, vocab, topk=2) \
+        == pytest.approx(1.0)
