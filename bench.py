@@ -41,7 +41,7 @@ def main() -> None:
         subject_layers=True, subject_dim=0, complex_out=True, glu=2,
         glu_context=1, merger=True, merger_channels=270,
         merger_pos_dim=2048, initial_linear=270, gelu=True,
-        batch_norm=True, n_subjects=N_SUBJECTS)
+        batch_norm=True, n_subjects=N_SUBJECTS, dtype="bfloat16")
     clip = ClipLoss(dset_tmin=-0.5, dset_sample_rate=120.)
 
     rng = np.random.RandomState(0)
@@ -80,20 +80,30 @@ def main() -> None:
     step = jax.jit(train_step, donate_argnums=(0, 1, 2))
 
     key = jax.random.PRNGKey(0)
-    # compile + warmup
+    # compile + warmup. NOTE: sync via a host transfer of the scalar loss
+    # — on this container's relayed-TPU backend block_until_ready is not
+    # a reliable barrier.
     params, batch_stats, opt_state, loss = step(
         params, batch_stats, opt_state, meg, features, subjects,
         positions, key)
-    jax.block_until_ready(loss)
+    _ = float(loss)
 
-    n_steps = 20
+    # calibrate the step time, then time enough steps for ~30s
+    t0 = time.perf_counter()
+    params, batch_stats, opt_state, loss = step(
+        params, batch_stats, opt_state, meg, features, subjects,
+        positions, key)
+    _ = float(loss)
+    step_time = time.perf_counter() - t0
+    n_steps = max(3, min(30, int(30.0 / max(step_time, 1e-3))))
+
     t0 = time.perf_counter()
     for k in range(n_steps):
         key = jax.random.fold_in(key, k)
         params, batch_stats, opt_state, loss = step(
             params, batch_stats, opt_state, meg, features, subjects,
             positions, key)
-    jax.block_until_ready(loss)
+    _ = float(loss)
     elapsed = time.perf_counter() - t0
 
     samples_per_sec = B * n_steps / elapsed

@@ -158,7 +158,8 @@ SIMPLECONV_DEFAULTS: tp.Dict[str, tp.Any] = dict(
     merger_pos_dim=256, merger_channels=270, merger_dropout=0.2,
     merger_penalty=0., merger_per_subject=False, dropout=0.,
     dropout_rescale=True, initial_linear=0, initial_depth=1,
-    initial_nonlin=False, subsample_meg_channels=0)
+    initial_nonlin=False, subsample_meg_channels=0,
+    dtype=None)  # 'bfloat16' for full-rate TPU MXU convs
 
 CONVRNN_DEFAULTS: tp.Dict[str, tp.Any] = dict(
     concatenate=False, depth=2, linear_out=False, complex_out=False,

@@ -142,6 +142,7 @@ class SegmentDataset:
         self._n_times = self.sample_rate.to_ind(tmax - tmin) + 1
         self._track: tp.Optional[np.ndarray] = None  # [D+1, T] features+mask
         self._track_sr: tp.Optional[Frequency] = None
+        self._meg_override: tp.Optional[np.ndarray] = None  # autoreject
 
     # -- feature track -------------------------------------------------------
 
@@ -180,6 +181,8 @@ class SegmentDataset:
         return self.sample_rate.to_sec(start), self.sample_rate.to_sec(stop)
 
     def _get_meg(self, idx: int) -> np.ndarray:
+        if self._meg_override is not None:
+            return self._meg_override[idx]
         start = int(self.event_samples[idx]) + self._start_offset
         meg = np.array(self.raw.data[:, start:start + self._n_times],
                        dtype=np.float32)
@@ -225,6 +228,8 @@ class SegmentDataset:
             sub = SegmentDataset.__new__(SegmentDataset)
             sub.__dict__.update(self.__dict__)
             sub.event_samples = self.event_samples[index]
+            if self._meg_override is not None:
+                sub._meg_override = self._meg_override[index]
             return sub
         meg = self._get_meg(index)
         data, mask, event_list = self._get_feature(index)
@@ -353,7 +358,39 @@ class _DatasetFactory:
             tmin=self.tmin, tmax=self.tmax, baseline=self.baseline,
             event_mask=self.event_mask, meg_dimension=self.meg_dimension)
         dset.blocks = blocks
+        if self.autoreject:
+            self._apply_autoreject(dset, raw)
         return dset
+
+    def _apply_autoreject(self, dset: "SegmentDataset",
+                          raw: studies.RawData) -> None:
+        """Fit an interpolation-based repair on 200 random epochs
+        (cached) and repair every epoch (bm/dataset.py:177-199)."""
+        from .autoreject import AutoRejectDrop
+
+        cache = Cache("autoreject", args=(
+            dict(recording=dset.recording.recording_uid,
+                 sample_rate=self.sample_rate, tmin=self.tmin,
+                 tmax=self.tmax, highpass=self.highpass),
+            dset.blocks))
+        epochs = np.stack([dset._get_meg(k)[:raw.n_channels]
+                           for k in range(len(dset))])
+        positions = raw.positions
+
+        def _fit() -> AutoRejectDrop:
+            logger.info("Fitting autoreject, cachefile %s",
+                        cache.cache_path({}))
+            rng = np.random.RandomState(1234)
+            idx = rng.permutation(len(epochs))[:200]
+            return AutoRejectDrop().fit(epochs[idx], positions)
+
+        autoreject = cache.get(_fit)
+        repaired = autoreject.transform(epochs, positions)
+        if self.meg_dimension is not None:
+            pad = self.meg_dimension - repaired.shape[1]
+            if pad:
+                repaired = np.pad(repaired, ((0, 0), (0, pad), (0, 0)))
+        dset._meg_override = repaired
 
 
 SegmentDataset.Factory = _DatasetFactory

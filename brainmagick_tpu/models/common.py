@@ -250,6 +250,9 @@ class ConvSequence(nn.Module):
     glu_context: int = 0
     glu_glu: bool = True
     activation: tp.Callable[[jax.Array], jax.Array] = nn.relu
+    #: computation dtype for convs (bfloat16 on TPU keeps the MXU at full
+    #: rate; params and batch-norm statistics stay float32)
+    dtype: tp.Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -271,22 +274,25 @@ class ConvSequence(nn.Module):
             if self.decode:
                 x = nn.ConvTranspose(
                     chout, (self.kernel,), strides=(self.stride,),
-                    padding=[(pad, pad)])(x)
+                    padding=[(pad, pad)], dtype=self.dtype)(x)
             else:
                 x = nn.Conv(
                     chout, (self.kernel,), strides=(self.stride,),
                     padding=[(pad, pad)], kernel_dilation=(dilation,),
-                    feature_group_count=self.groups if k > 0 else 1)(x)
+                    feature_group_count=self.groups if k > 0 else 1,
+                    dtype=self.dtype)(x)
             dilation *= self.dilation_growth
             if self.activation_on_last or not is_last:
                 if self.batch_norm:
                     x = nn.BatchNorm(use_running_average=not train,
-                                     axis=-1)(x)
+                                     axis=-1, dtype=jnp.float32)(x)
+                    if self.dtype is not None:
+                        x = x.astype(self.dtype)
                 x = act(x)
                 if self.dropout:
                     x = nn.Dropout(self.dropout, deterministic=not train)(x)
                 if self.rewrite:
-                    x = nn.Conv(chout, (1,))(x)
+                    x = nn.Conv(chout, (1,), dtype=self.dtype)(x)
                     x = nn.leaky_relu(x, self.leakiness)
             if chin == chout and self.skip:
                 if self.scale is not None:
@@ -301,11 +307,13 @@ class ConvSequence(nn.Module):
                 width = 1 + 2 * self.glu_context
                 if self.glu_glu:
                     gated = nn.Conv(2 * chout, (width,),
-                                    padding=[(self.glu_context,) * 2])(x)
+                                    padding=[(self.glu_context,) * 2],
+                                    dtype=self.dtype)(x)
                     x = nn.glu(gated, axis=-1)
                 else:
                     x = nn.Conv(chout, (width,),
-                                padding=[(self.glu_context,) * 2])(x)
+                                padding=[(self.glu_context,) * 2],
+                                dtype=self.dtype)(x)
                     x = act(x)
         return x
 

@@ -34,6 +34,7 @@ class DeepMel(nn.Module):
     skip: bool = True
     glu: int = 2
     glu_context: int = 1
+    dtype: tp.Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -47,5 +48,7 @@ class DeepMel(nn.Module):
             dilation_period=self.dilation_period,
             batch_norm=self.batch_norm,
             activation_on_last=self.activation_on_last, skip=self.skip,
-            glu=self.glu, glu_context=self.glu_context)(x, train=train)
-        return jnp.swapaxes(x, 1, 2)
+            glu=self.glu, glu_context=self.glu_context,
+            dtype=(jnp.dtype(self.dtype) if self.dtype is not None
+                   else None))(x, train=train)
+        return jnp.swapaxes(x, 1, 2).astype(jnp.float32)

@@ -85,6 +85,9 @@ class SimpleConv(nn.Module):
     initial_depth: int = 1
     initial_nonlin: bool = False
     subsample_meg_channels: int = 0
+    #: computation dtype ('bfloat16' keeps TPU MXUs at full rate; params,
+    #: softmax and batch-norm statistics stay float32)
+    dtype: tp.Any = None
 
     @nn.compact
     def __call__(self, inputs: tp.Mapping[str, jax.Array],
@@ -98,9 +101,12 @@ class SimpleConv(nn.Module):
         assert self.kernel_size % 2 == 1, "odd kernel required for padding"
         act = get_activation(self.gelu, self.relu_leakiness)
         length = next(iter(inputs.values())).shape[-1]
+        dtype = jnp.dtype(self.dtype) if self.dtype is not None else None
 
         # channels-last internally
         inputs = {name: jnp.swapaxes(x, 1, 2) for name, x in inputs.items()}
+        if dtype is not None:
+            inputs = {name: x.astype(dtype) for name, x in inputs.items()}
         in_channels = dict(self.in_channels)
         hidden = dict(self.hidden)
 
@@ -130,7 +136,8 @@ class SimpleConv(nn.Module):
                 for d in range(self.initial_depth):
                     if d > 0:
                         meg = act(meg)
-                    meg = nn.Conv(self.initial_linear, (1,))(meg)
+                    meg = nn.Conv(self.initial_linear, (1,),
+                                  dtype=dtype)(meg)
                 if self.initial_nonlin:
                     meg = act(meg)
                 in_channels["meg"] = self.initial_linear
@@ -176,7 +183,7 @@ class SimpleConv(nn.Module):
             groups=self.groups, dilation_period=self.dilation_period,
             skip=self.skip, post_skip=self.post_skip, scale=self.scale,
             rewrite=self.rewrite, glu=self.glu, glu_context=self.glu_context,
-            glu_glu=self.glu_glu, activation=act)
+            glu_glu=self.glu_glu, activation=act, dtype=dtype)
 
         final_channels = sum(s[-1] for s in sizes.values())
         use_final = self.linear_out or self.complex_out
@@ -206,16 +213,16 @@ class SimpleConv(nn.Module):
             assert not self.complex_out
             x = nn.ConvTranspose(self.out_channels, (kernel,),
                                  strides=(stride,),
-                                 padding=[(pad, pad)])(x)
+                                 padding=[(pad, pad)], dtype=dtype)(x)
         elif self.complex_out:
-            x = nn.Conv(2 * final_channels, (1,))(x)
+            x = nn.Conv(2 * final_channels, (1,), dtype=dtype)(x)
             x = act(x)
             x = nn.ConvTranspose(self.out_channels, (kernel,),
                                  strides=(stride,),
-                                 padding=[(pad, pad)])(x)
+                                 padding=[(pad, pad)], dtype=dtype)(x)
 
         assert x.shape[1] >= length, (x.shape, length)
-        return jnp.swapaxes(x[:, :length], 1, 2)
+        return jnp.swapaxes(x[:, :length], 1, 2).astype(jnp.float32)
 
     def _stft(self, meg: jax.Array) -> jax.Array:
         """Spectrogram branch: [B, T, C] -> [B, T', C * freqs (*2)]."""

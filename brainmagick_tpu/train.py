@@ -46,7 +46,6 @@ def build_datasets(args: MainConfig) -> dset.Datasets:
     selections = [args.selections[name] for name in kwargs.pop("selections")]
     kwargs["selections"] = selections
     kwargs["test"] = {k: v for k, v in kwargs.pop("test").items()}
-    kwargs.pop("autoreject", None)  # handled separately (future)
     if args.optim.loss == "clip":
         kwargs["extra_test_features"] = list(
             kwargs.get("extra_test_features") or []) + ["WordHash"]
