@@ -190,6 +190,11 @@ class MainConfig:
     verbose: int = 0
     show: int = 0
     download_only: bool = False
+    wandb: tp.Dict[str, tp.Any] = _dict(
+        use_wandb=False, project="brainmagick_tpu",
+        group="brainmagick-group")
+    tensorboard: bool = False
+    profile: bool = False  # capture a JAX profiler trace of epoch 1
     continue_sig: tp.Optional[str] = None
     continue_best: bool = True
     seed: int = 2036
@@ -233,7 +238,7 @@ class MainConfig:
     # keys excluded from the signature (cosmetic, like dora.exclude)
     _SIG_EXCLUDE = ("num_prints", "device", "num_workers", "verbose",
                     "cache", "feature_models", "show", "out_dir",
-                    "download_only")
+                    "download_only", "wandb", "tensorboard", "profile")
 
     def delta(self) -> tp.Dict[str, tp.Any]:
         """Non-default config deltas (flat dotted keys)."""
@@ -305,8 +310,21 @@ def apply_preset(cfg: MainConfig, name: str) -> MainConfig:
             batch_norm=True, activation_on_last=False, skip=True,
             glu_context=1, glu=2)
     elif name == "convrnn":
+        # encode task (conf/model/convrnn.yaml)
         cfg.model_name = "convrnn"
+        cfg.convrnn["hidden"] = dict(meg=512, features=12)
         cfg.task.type = "encode"
+        cfg.optim.loss = "l1"
+    elif name == "decoder_convrnn":
+        # regression/classification decoding (conf/model/decoder_convrnn.yaml)
+        cfg.model_name = "convrnn"
+        cfg.convrnn["hidden"] = dict(meg=512)
+        cfg.convrnn["bidirectional_lstm"] = True
+        cfg.dset.features = ["WordSegment"]
+        cfg.optim.loss = "regression_classification"
+        cfg.task.type = "decode"
+    elif name == "none":
+        cfg.feature_model_name = None
     else:
         raise ValueError(f"Unknown preset {name}")
     return cfg

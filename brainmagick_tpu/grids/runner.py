@@ -64,6 +64,40 @@ def show_table(name: str, out_dir: str = "./outputs") -> None:
         print("  ".join(str(row.get(k, "-")).rjust(widths[k]) for k in keys))
 
 
+def export_csv(name: str, out_dir: str = "./outputs",
+               dest: tp.Optional[str] = None) -> Path:
+    """Flat (sig, overrides..., metrics...) CSV for hyperparameter
+    explorers like HiPlot (bm/grids/_hiplot.py role)."""
+    import csv
+
+    explorer, jobs = get_grid(name)
+    rows = []
+    for job in jobs:
+        cfg = job.to_config()
+        row: tp.Dict[str, tp.Any] = {"sig": cfg.sig}
+        row.update({k: repr(v) for k, v in job.overrides.items()})
+        history_path = Path(out_dir) / "xps" / cfg.sig / "history.json"
+        if history_path.exists():
+            with open(history_path) as f:
+                history = json.load(f)
+            stages = explorer.process_history(history)
+            for stage, metrics in stages.items():
+                for key, val in metrics.items():
+                    if isinstance(val, (int, float)):
+                        row[f"{stage}.{key}"] = val
+        rows.append(row)
+    dest_path = Path(dest or (Path(out_dir) / f"grid_{name}.csv"))
+    keys: tp.List[str] = []
+    for row in rows:
+        keys.extend(k for k in row if k not in keys)
+    with open(dest_path, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=keys)
+        writer.writeheader()
+        writer.writerows(rows)
+    print(f"wrote {dest_path} ({len(rows)} rows)")
+    return dest_path
+
+
 def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     argv = list(argv if argv is not None else sys.argv[1:])
     if not argv or argv[0] in ("-h", "--help"):
@@ -76,6 +110,9 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     logger.info("Grid %s: %d jobs", name, len(jobs))
     if "--table" in flags:
         show_table(name)
+        return
+    if "--csv" in flags:
+        export_csv(name)
         return
     if "--run" in flags:
         from ..train import run

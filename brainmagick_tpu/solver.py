@@ -104,6 +104,13 @@ class Solver:
         self.negative_pool = {name: None for name in ("train", "valid")}
         self._jit_cache: tp.Dict[tp.Any, tp.Any] = {}
 
+        from .logging_utils import MetricSinks
+        wandb_kwargs = dict(args.wandb)
+        use_wandb = wandb_kwargs.pop("use_wandb", False)
+        self.metric_sinks = MetricSinks(
+            self.folder, use_wandb=use_wandb, wandb_kwargs=wandb_kwargs,
+            use_tensorboard=args.tensorboard)
+
         self.restore()
         if optimizer is None and self.best_state is not None:
             self._load_params(self.best_state)
@@ -254,17 +261,21 @@ class Solver:
         features = arrays["features"]
         rec = arrays["recording_index"]
 
-        # normalize (BatchScaler.transform)
-        meg = (meg - na["meg_center"][rec][:, :, None]) \
-            / na["meg_scale"][rec][:, :, None]
+        # normalize + clamp + reject-peak: one fused Pallas pass on TPU
+        # (bm/norm.py transform + ScaleReject, see ops/pallas_norm.py)
+        from .ops.pallas_norm import normalize_clamp_peak
+        limit_scale = args.norm.max_scale
+        meg, peak = normalize_clamp_peak(
+            meg, na["meg_center"][rec], na["meg_scale"][rec],
+            limit_scale, clip=args.norm.clip)
         features = (features - na["feat_center"][None, :, None]) \
             / na["feat_scale"][None, :, None]
-        # scale reject (static-shape: mask instead of drop)
-        limit_scale = args.norm.max_scale
         if args.norm.clip:
-            meg = jnp.clip(meg, -limit_scale, limit_scale)
-        peak = jnp.abs(meg).reshape(meg.shape[0], -1).max(axis=-1)
-        keep = peak <= limit_scale
+            # clamped samples are kept (reference clamps in place and the
+            # post-clamp peak never exceeds the limit, bm/norm.py:333-335)
+            keep = jnp.ones_like(peak, dtype=bool)
+        else:
+            keep = peak <= limit_scale
         if args.norm.exclude_empty_features:
             empty = arrays["features_mask"].reshape(
                 meg.shape[0], -1).sum(-1) == 0
@@ -542,11 +553,14 @@ class Solver:
         if self.history:
             logger.info("Replaying %d past epochs of metrics",
                         len(self.history))
+        from .logging_utils import maybe_profile
         for epoch in range(self.epoch, args.optim.epochs + 1):
             self.epoch = epoch
             t0 = time.time()
             stages = {}
-            stages["train"] = self._run_one_epoch(training=True)
+            with maybe_profile(self.folder,
+                               args.profile and epoch == self.epoch == 1):
+                stages["train"] = self._run_one_epoch(training=True)
             stages["valid"] = self._run_one_epoch(training=False)
 
             will_stop = epoch == args.optim.epochs
@@ -573,9 +587,11 @@ class Solver:
                            for k, v in stages.items()),
                 100 * self.rejection_rate, time.time() - t0)
             self.history.append(stages)
+            self.metric_sinks.log(epoch, stages)
             self.commit()
             if will_stop:
                 break
+        self.metric_sinks.close()
         return self.best_loss
 
     @property
