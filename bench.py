@@ -23,7 +23,18 @@ REFERENCE_SAMPLES_PER_SEC = 200.0  # analytic V100 estimate, see docstring
 
 
 def main() -> None:
+    import os
+
     import jax
+
+    # persistent compilation cache: remote compiles on the relayed TPU
+    # take minutes; cache them across runs
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.expanduser("~/.cache/jax_comp"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     import numpy as np
     import optax

@@ -220,7 +220,12 @@ class SegmentDataset:
         data, mask = chunk[:-1], chunk[-1:] > 0.5
         select = ((self.features.events["_stop"] >= start)
                   & (self.features.events.start < stop))
-        event_list = list(self.features.events.loc[select].event.iter())
+        from .events import DataSlice
+        marker = DataSlice(start=start, duration=stop - start,
+                           sample_rate=float(track_sr), language=None,
+                           modality=None)
+        event_list = [marker] + list(
+            self.features.events.loc[select].event.iter())
         return data, mask, event_list
 
     def __getitem__(self, index: tp.Any) -> tp.Any:
@@ -243,6 +248,69 @@ class SegmentDataset:
 
     def __iter__(self) -> tp.Iterator[SegmentBatch]:
         return (self[k] for k in range(len(self)))
+
+    def get_batch(self, indices: np.ndarray,
+                  with_events: bool = False) -> SegmentBatch:
+        """Assemble a whole batch with the native gatherer (one
+        multithreaded strided-copy pass for meg + one for the feature
+        track, instead of B python items + a collate re-copy)."""
+        from .native import batch_gather_epochs, batch_gather_track
+
+        indices = np.asarray(indices, dtype=np.int64)
+        n = len(indices)
+        if self._meg_override is not None:
+            meg = np.asarray(self._meg_override[indices], dtype=np.float32)
+        else:
+            b0, b1 = (0, 0)
+            baseline_len = 0
+            if self.baseline is not None:
+                bl0, bl1 = self.baseline
+                assert bl0 is None, "native path supports (None, t1) baseline"
+                baseline_len = self.sample_rate.to_ind(bl1 - self.tmin) + 1
+            starts = self.event_samples[indices] + self._start_offset
+            meg = batch_gather_epochs(
+                self.raw.data, starts, self._n_times,
+                out_channels=self.meg_dimension or self.raw.n_channels,
+                baseline_len=baseline_len)
+
+        track, track_sr = self._get_track()
+        if float(track_sr) == float(self.sample_rate):
+            t_starts = self.event_samples[indices] + self._start_offset
+            n_track = self._n_times
+        else:
+            t_starts = np.array([
+                track_sr.to_ind(self._bounds_times(int(i))[0])
+                for i in indices], dtype=np.int64)
+            n_track = track_sr.to_ind(self._n_times / float(self.sample_rate))
+        t_starts = np.clip(t_starts, 0, track.shape[-1] - n_track)
+        chunk = batch_gather_track(track, t_starts, n_track)
+        features, mask = chunk[:, :-1], chunk[:, -1:] > 0.5
+
+        event_lists = []
+        if with_events:
+            from .events import DataSlice
+            for i in indices:
+                start, stop = self._bounds_times(int(i))
+                select = ((self.features.events["_stop"] >= start)
+                          & (self.features.events.start < stop))
+                # leading DataSlice marks the epoch bounds — consumers
+                # read events[0].start as the epoch start (eval.py)
+                marker = DataSlice(start=start, duration=stop - start,
+                                   sample_rate=float(track_sr),
+                                   language=None, modality=None)
+                event_lists.append([marker] + list(
+                    self.features.events.loc[select].event.iter()))
+        positions = self._get_positions()
+        return SegmentBatch(
+            meg=meg, features=features, features_mask=mask,
+            subject_index=np.full(n, self.recording.subject_index,
+                                  dtype=np.int32),
+            recording_index=np.full(n, self.recording.recording_index,
+                                    dtype=np.int32),
+            positions=np.broadcast_to(positions, (n,) + positions.shape
+                                      ).copy(),
+            _recordings=[self.recording.empty_copy()] * n,
+            _event_lists=event_lists)
 
 
 def _events_fingerprint(events) -> str:
@@ -400,6 +468,20 @@ SegmentDataset.Factory = _DatasetFactory
 # Concatenation (torch-free)
 # ---------------------------------------------------------------------------
 
+def _concat_batches(batches: tp.Sequence[SegmentBatch]) -> SegmentBatch:
+    """Concatenate collated batches along the batch dim."""
+    if len(batches) == 1:
+        return batches[0]
+    kw: tp.Dict[str, tp.Any] = {}
+    for field in dataclasses.fields(SegmentBatch):
+        vals = [getattr(b, field.name) for b in batches]
+        if field.name in SegmentBatch.ARRAY_FIELDS:
+            kw[field.name] = np.concatenate(vals)
+        else:
+            kw[field.name] = [x for sub in vals for x in sub]
+    return SegmentBatch(**kw)
+
+
 class ConcatDataset:
     """Concatenation of SegmentDatasets (index-mapped)."""
 
@@ -417,6 +499,30 @@ class ConcatDataset:
         d = int(np.searchsorted(self.cumulative_sizes, index,
                                 side="right")) - 1
         return self.datasets[d][index - int(self.cumulative_sizes[d])]
+
+    def get_batch(self, indices: np.ndarray,
+                  with_events: bool = False) -> SegmentBatch:
+        """Batched fetch: group indices per sub-dataset, gather each
+        group natively, reassemble in the requested order."""
+        indices = np.asarray(indices, dtype=np.int64)
+        which = np.searchsorted(self.cumulative_sizes, indices,
+                                side="right") - 1
+        parts: tp.Dict[int, SegmentBatch] = {}
+        orders: tp.Dict[int, np.ndarray] = {}
+        for d in np.unique(which):
+            sel = np.flatnonzero(which == d)
+            local = indices[sel] - int(self.cumulative_sizes[d])
+            parts[int(d)] = self.datasets[int(d)].get_batch(
+                local, with_events=with_events)
+            orders[int(d)] = sel
+        out_order = np.empty(len(indices), dtype=np.int64)
+        offset = 0
+        chunks = []
+        for d, batch in parts.items():
+            out_order[orders[d]] = offset + np.arange(len(batch))
+            offset += len(batch)
+            chunks.append(batch)
+        return _concat_batches(chunks)[out_order]
 
 
 # ---------------------------------------------------------------------------

@@ -87,7 +87,7 @@ def load_test_data(solver: Solver, batch_size: tp.Optional[int] = None,
     if n_recordings is not None:
         datasets = datasets[:n_recordings]
     dataset = ConcatDataset(datasets)
-    loader = solver.make_loader(dataset, shuffle=shuffle)
+    loader = solver.make_loader(dataset, shuffle=shuffle, with_events=True)
     test_features = solver.datasets.test.datasets[0].features
 
     tmin = solver.args.dset.test.tmin

@@ -23,7 +23,7 @@ class Loader:
     def __init__(self, dataset: tp.Any, batch_size: int,
                  shuffle: bool = False, seed: int = 0,
                  drop_last: bool = False, num_workers: int = 4,
-                 prefetch: int = 2) -> None:
+                 prefetch: int = 2, with_events: bool = False) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -31,6 +31,7 @@ class Loader:
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
+        self.with_events = with_events
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -68,8 +69,14 @@ class Loader:
                 pad = self.batch_size - len(chunk)
                 pad_weight[len(chunk):] = 0.
                 chunk = np.concatenate([chunk, chunk[-1:].repeat(pad)])
-            items = [self.dataset[int(i)] for i in chunk]
-            return SegmentBatch.collate(items), pad_weight
+            if hasattr(self.dataset, "get_batch"):
+                # native multithreaded gather (one pass for the whole batch)
+                batch = self.dataset.get_batch(chunk,
+                                               with_events=self.with_events)
+            else:
+                batch = SegmentBatch.collate(
+                    [self.dataset[int(i)] for i in chunk])
+            return batch, pad_weight
 
         def producer():
             # sliding window of outstanding jobs so memory stays bounded

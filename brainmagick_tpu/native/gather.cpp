@@ -1,0 +1,98 @@
+// Native batch gatherer: assemble fixed-shape epoch batches from the
+// preprocessed [C, T_total] recording memmap.
+//
+// This is the host-side hot path of the input pipeline: at batch 256 x
+// 273ch x 361 samples each batch is ~100 MB of strided copies plus a
+// per-epoch baseline correction (mean over the [tmin, 0] window
+// subtracted per channel, bm/dataset.py mne.Epochs baseline semantics).
+// numpy does this single-threaded per item inside the GIL; here it is
+// one OpenMP-style parallel pass at memory bandwidth.
+//
+// Exposed as a C ABI for ctypes (no pybind11 in this image).
+//
+// Layout contracts (float32 everywhere):
+//   raw:   [n_channels, total_samples]   (row-major, the memmap)
+//   out:   [batch, out_channels, n_times] (row-major, pre-allocated;
+//          out_channels >= n_channels, tail rows zero-padded)
+//   starts:[batch] int64 epoch start sample (already offset by tmin)
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// Gather epochs + optional baseline correction.
+//   baseline_len: samples from epoch start to average & subtract
+//                 (0 = no baseline correction)
+// Returns 0 on success, -1 on bounds error.
+int gather_epochs(const float* raw, int64_t n_channels,
+                  int64_t total_samples, const int64_t* starts,
+                  int64_t batch, int64_t n_times, int64_t out_channels,
+                  int64_t baseline_len, float* out, int n_threads) {
+    if (out_channels < n_channels || baseline_len > n_times) return -1;
+    for (int64_t b = 0; b < batch; ++b) {
+        if (starts[b] < 0 || starts[b] + n_times > total_samples) return -1;
+    }
+    if (n_threads <= 0) {
+        n_threads = static_cast<int>(std::thread::hardware_concurrency());
+        if (n_threads <= 0) n_threads = 4;
+    }
+
+    std::atomic<int64_t> next(0);
+    const int64_t n_jobs = batch * n_channels;
+
+    auto worker = [&]() {
+        // one job = one (epoch, channel) row: copy + baseline subtract
+        for (;;) {
+            int64_t job = next.fetch_add(8, std::memory_order_relaxed);
+            if (job >= n_jobs) return;
+            int64_t end = job + 8 < n_jobs ? job + 8 : n_jobs;
+            for (; job < end; ++job) {
+                const int64_t b = job / n_channels;
+                const int64_t c = job % n_channels;
+                const float* src = raw + c * total_samples + starts[b];
+                float* dst = out + (b * out_channels + c) * n_times;
+                std::memcpy(dst, src, sizeof(float) * n_times);
+                if (baseline_len > 0) {
+                    double mean = 0.0;
+                    for (int64_t t = 0; t < baseline_len; ++t)
+                        mean += dst[t];
+                    const float m =
+                        static_cast<float>(mean / baseline_len);
+                    for (int64_t t = 0; t < n_times; ++t) dst[t] -= m;
+                }
+            }
+        }
+    };
+
+    std::vector<std::thread> threads;
+    const int use = n_threads > 1 ? n_threads - 1 : 0;
+    for (int k = 0; k < use; ++k) threads.emplace_back(worker);
+    worker();
+    for (auto& t : threads) t.join();
+
+    // zero the channel padding rows
+    if (out_channels > n_channels) {
+        for (int64_t b = 0; b < batch; ++b) {
+            float* pad = out + (b * out_channels + n_channels) * n_times;
+            std::memset(pad, 0,
+                        sizeof(float) * (out_channels - n_channels)
+                            * n_times);
+        }
+    }
+    return 0;
+}
+
+// Dense track slicing: gather [batch, dim, n_times] windows from a
+// feature track [dim, total_samples] (no baseline).
+int gather_track(const float* track, int64_t dim, int64_t total_samples,
+                 const int64_t* starts, int64_t batch, int64_t n_times,
+                 float* out, int n_threads) {
+    return gather_epochs(track, dim, total_samples, starts, batch,
+                         n_times, dim, 0, out, n_threads);
+}
+
+}  // extern "C"

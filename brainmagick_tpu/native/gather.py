@@ -1,0 +1,121 @@
+"""ctypes bindings + build for the native batch gatherer (gather.cpp)."""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import subprocess
+import typing as tp
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_SRC = Path(__file__).parent / "gather.cpp"
+_LIB = Path(__file__).parent / "_libgather.so"
+_lib: tp.Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build() -> tp.Optional[ctypes.CDLL]:
+    global _build_failed
+    if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
+        return ctypes.CDLL(str(_LIB))
+    try:
+        tmp = _LIB.with_suffix(".so.tmp")
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-std=c++17", "-pthread", str(_SRC), "-o", str(tmp)],
+            check=True, capture_output=True, text=True, timeout=120)
+        tmp.rename(_LIB)
+        return ctypes.CDLL(str(_LIB))
+    except (subprocess.SubprocessError, OSError) as e:
+        logger.warning("native gather build failed (%s); using numpy "
+                       "fallback", e)
+        _build_failed = True
+        return None
+
+
+def _get_lib() -> tp.Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is None and not _build_failed:
+        lib = _build()
+        if lib is not None:
+            lib.gather_epochs.restype = ctypes.c_int
+            lib.gather_epochs.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int]
+            lib.gather_track.restype = ctypes.c_int
+            lib.gather_track.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int]
+        _lib = lib
+    return _lib
+
+
+def is_available() -> bool:
+    return _get_lib() is not None
+
+
+def _numpy_gather_epochs(raw, starts, n_times, out_channels, baseline_len):
+    n_channels = raw.shape[0]
+    out = np.zeros((len(starts), out_channels, n_times), dtype=np.float32)
+    for b, s in enumerate(starts):
+        epoch = np.array(raw[:, s:s + n_times], dtype=np.float32)
+        if baseline_len > 0:
+            epoch -= epoch[:, :baseline_len].mean(axis=1, keepdims=True)
+        out[b, :n_channels] = epoch
+    return out
+
+
+def batch_gather_epochs(raw: np.ndarray, starts: np.ndarray, n_times: int,
+                        out_channels: tp.Optional[int] = None,
+                        baseline_len: int = 0,
+                        n_threads: int = 0) -> np.ndarray:
+    """[C, T_total] raw + [B] start samples -> [B, out_channels, n_times]
+    float32 batch with per-epoch baseline correction."""
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    out_channels = out_channels or raw.shape[0]
+    lib = _get_lib()
+    raw_ok = (isinstance(raw, np.ndarray) and raw.dtype == np.float32
+              and raw.strides[1] == 4)
+    if lib is None or not raw_ok:
+        return _numpy_gather_epochs(raw, starts, n_times, out_channels,
+                                    baseline_len)
+    if not raw.flags.c_contiguous:
+        raw = np.ascontiguousarray(raw)  # keep alive through the call
+    out = np.empty((len(starts), out_channels, n_times), dtype=np.float32)
+    rc = lib.gather_epochs(
+        raw.ctypes.data, raw.shape[0], raw.shape[1], starts.ctypes.data,
+        len(starts), n_times, out_channels, baseline_len,
+        out.ctypes.data, n_threads)
+    if rc != 0:
+        raise IndexError("epoch window outside the recording")
+    return out
+
+
+def batch_gather_track(track: np.ndarray, starts: np.ndarray,
+                       n_times: int, n_threads: int = 0) -> np.ndarray:
+    """[D, T_total] track + [B] starts -> [B, D, n_times] float32."""
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lib = _get_lib()
+    track_ok = (isinstance(track, np.ndarray)
+                and track.dtype == np.float32 and track.strides[1] == 4)
+    if lib is None or not track_ok:
+        return np.stack([
+            np.array(track[:, s:s + n_times], dtype=np.float32)
+            for s in starts])
+    if not track.flags.c_contiguous:
+        track = np.ascontiguousarray(track)
+    out = np.empty((len(starts), track.shape[0], n_times),
+                   dtype=np.float32)
+    rc = lib.gather_track(track.ctypes.data, track.shape[0],
+                          track.shape[1], starts.ctypes.data, len(starts),
+                          n_times, out.ctypes.data, n_threads)
+    if rc != 0:
+        raise IndexError("track window outside the recording")
+    return out

@@ -147,10 +147,12 @@ class Solver:
                          num_workers=args.num_workers)
             for name in ("train", "valid", "test")}
 
-    def make_loader(self, dataset, shuffle: bool = False) -> Loader:
+    def make_loader(self, dataset, shuffle: bool = False,
+                    with_events: bool = False) -> Loader:
         return Loader(dataset, batch_size=self.args.optim.batch_size,
                       shuffle=shuffle, seed=self.args.seed,
-                      num_workers=self.args.num_workers)
+                      num_workers=self.args.num_workers,
+                      with_events=with_events)
 
     @property
     def norm_arrays(self) -> tp.Dict[str, jnp.ndarray]:
