@@ -56,6 +56,9 @@ class RawData:
     sample_rate: float
     ch_names: tp.List[str]
     positions: np.ndarray = field(default=None)  # [C, 2] in [0,1]^2, INVALID_POSITION if unknown
+    #: optional per-channel kind codes (FIFF convention: 1=MEG, 2=EEG,
+    #: 3=stim); None when the source format carries no kind info
+    ch_kinds: tp.Optional[tp.List[int]] = None
 
     def __post_init__(self) -> None:
         assert self.data.ndim == 2

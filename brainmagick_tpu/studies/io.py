@@ -160,7 +160,8 @@ def read_fif(path: tp.Union[str, Path]) -> RawData:
     locs = np.stack([c.loc for c in channels])
     return RawData(data=data, sample_rate=sfreq,
                    ch_names=[c.name for c in channels],
-                   positions=_positions_from_locs(locs))
+                   positions=_positions_from_locs(locs),
+                   ch_kinds=[c.kind for c in channels])
 
 
 def write_fif(path: tp.Union[str, Path], raw: RawData,
@@ -184,8 +185,9 @@ def write_fif(path: tp.Union[str, Path], raw: RawData,
             # embed the normalized layout on a unit hemisphere so the
             # azimuthal read-back projection recovers it monotonically
             loc[0], loc[1], loc[2] = px - 0.5, py - 0.5, 0.5
+        kind = raw.ch_kinds[k] if raw.ch_kinds is not None else 1
         payload = _CH_INFO.pack(
-            k, k, 1, 1.0, 1.0, 0, *loc.tolist(), 112, 0,
+            k, k, kind, 1.0, 1.0, 0, *loc.tolist(), 112, 0,
             name.encode("latin1")[:16].ljust(16, b"\x00"))
         tag(FIFF_CH_INFO, FIFFT_CH_INFO, payload)
     tag(FIFF_BLOCK_START, FIFFT_INT32,
@@ -198,6 +200,29 @@ def write_fif(path: tp.Union[str, Path], raw: RawData,
     Path(path).write_bytes(b"".join(chunks))
 
 
+FIFFV_MEG_CH = 1
+FIFFV_EEG_CH = 2
+FIFFV_STIM_CH = 3
+
+
+def find_events(stim: np.ndarray, shortest_event: int = 1) -> np.ndarray:
+    """Trigger onsets from a stim channel: [T] -> [N, 3] rows of
+    (sample, previous_value, new_value) at 0->nonzero transitions
+    (mne.find_events role for the MOUS pipeline)."""
+    vals = np.rint(stim).astype(np.int64)
+    change = np.flatnonzero(np.diff(vals) != 0) + 1
+    events = []
+    for idx in change:
+        if vals[idx] != 0:
+            # require the value to hold for shortest_event samples
+            stop = min(idx + shortest_event, len(vals))
+            if np.all(vals[idx:stop] == vals[idx]):
+                events.append((idx, vals[idx - 1], vals[idx]))
+    return np.asarray(events, dtype=np.int64).reshape(-1, 3)
+
+
 def read_ctf(path: Path) -> RawData:
     raise NotImplementedError(
-        f"CTF .ds reader not implemented yet (needed for {path}).")
+        f"CTF .ds reading is not implemented; convert the recording to "
+        f"FIF offline (e.g. mne.io.read_raw_ctf(...).save(...)) and the "
+        f"pipeline reads it natively ({path}).")

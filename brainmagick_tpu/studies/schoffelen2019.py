@@ -52,7 +52,7 @@ class StudyPaths:
     """Resolves per-recording files in the Donders layout
     (bm/studies/schoffelen2019/paths.py)."""
 
-    TEST_FILENAME = "testmeg-raw.npz"  # pipeline-testing stand-in
+    TEST_FILENAMES = ("testmeg-raw.npz", "testmeg-raw.fif")
 
     def __init__(self, subject_uid: str) -> None:
         self._subject_uid = subject_uid
@@ -68,9 +68,15 @@ class StudyPaths:
     @property
     def raw(self) -> Path:
         meg_folder = self.dataset() / self._subject_uid / "meg"
-        test_file = meg_folder / self.TEST_FILENAME
-        if test_file.exists():
-            return test_file
+        for name in self.TEST_FILENAMES:
+            test_file = meg_folder / name
+            if test_file.exists():
+                return test_file
+        # FIF-converted recordings take precedence over raw CTF
+        fif_files = [p for p in meg_folder.glob("*.fif")
+                     if "rest" not in p.name]
+        if fif_files:
+            return sorted(fif_files)[-1]
         meg_files = [p for p in meg_folder.glob("*.ds")
                      if "rest" not in p.name]
         if not meg_files:
@@ -439,10 +445,29 @@ def read_raw(raw_fname: tp.Union[str, Path]
             ch_names=[f"c{k}" for k in range(payload["data"].shape[0])],
             positions=payload["positions"].astype(np.float32))
         return raw, payload["events"].astype(np.int64)
+    if raw_fname.endswith(".fif"):
+        # FIF-converted MOUS recording: split the stim channel for
+        # triggers, keep the MEG channels (reference picks 273 data
+        # channels after the 28 reference sensors,
+        # bm/studies/schoffelen2019/schoffelen2019.py:142-147)
+        from .io import FIFFV_MEG_CH, FIFFV_STIM_CH, find_events, read_fif
+        full = read_fif(raw_fname)
+        kinds = np.asarray(full.ch_kinds or [FIFFV_MEG_CH] * full.n_channels)
+        stim_idx = np.flatnonzero(kinds == FIFFV_STIM_CH)
+        events = (find_events(full.data[stim_idx[0]])
+                  if len(stim_idx) else np.zeros((0, 3), dtype=np.int64))
+        meg_idx = np.flatnonzero(kinds == FIFFV_MEG_CH)
+        if len(meg_idx) > 273 + 28:
+            meg_idx = meg_idx[28:28 + 273]
+        raw = api.RawData(
+            data=np.ascontiguousarray(full.data[meg_idx]),
+            sample_rate=full.sample_rate,
+            ch_names=[full.ch_names[i] for i in meg_idx],
+            positions=full.positions[meg_idx])
+        return raw, events
     if raw_fname.endswith(".ds"):
         from .io import read_ctf
-        raw = read_ctf(Path(raw_fname))
-        raise NotImplementedError("CTF trigger extraction pending")
+        read_ctf(Path(raw_fname))
     raise ValueError(f"Unknown raw format: {raw_fname}")
 
 

@@ -206,6 +206,38 @@ def test_events_golden(mous_root):
                                atol=1e-3)
 
 
+def test_fif_converted_raw(mous_root, tmp_path):
+    """A FIF-converted MOUS recording (MEG + stim channel) feeds the same
+    pipeline: triggers extracted from the stim channel."""
+    from brainmagick_tpu.studies import schoffelen2019 as sch
+    from brainmagick_tpu.studies.api import RawData
+    from brainmagick_tpu.studies.io import write_fif
+
+    payload = np.load(mous_root / "download" / "sub-A2002" / "meg"
+                      / "testmeg-raw.npz")
+    events = payload["events"]
+    n_times = payload["data"].shape[1]
+    stim = np.zeros(n_times, dtype=np.float32)
+    for sample, _, code in events:
+        stim[sample:sample + 300] = code
+    data = np.concatenate([payload["data"], stim[None]])
+    raw = RawData(
+        data=data, sample_rate=float(payload["sample_rate"]),
+        ch_names=[f"M{k}" for k in range(len(payload["data"]))] + ["STI101"],
+        positions=np.concatenate([payload["positions"],
+                                  [[-0.1, -0.1]]]).astype(np.float32),
+        ch_kinds=[1] * len(payload["data"]) + [3])
+    fif_path = tmp_path / "converted-raw.fif"
+    write_fif(fif_path, raw)
+
+    got_raw, got_events = sch.read_raw(fif_path)
+    assert got_raw.n_channels == len(payload["data"])  # stim split out
+    assert got_raw.sample_rate == float(payload["sample_rate"])
+    # trigger onsets recovered exactly (codes 20/10 + final marker)
+    np.testing.assert_array_equal(got_events[:, 0], events[:, 0])
+    np.testing.assert_array_equal(got_events[:, 2], events[:, 2])
+
+
 def test_events_filter(mous_root):
     from brainmagick_tpu import studies
 
