@@ -330,7 +330,14 @@ class _BaseWav2Vec(base.Feature):
         os.environ.setdefault("HF_HUB_OFFLINE", "1")
         from transformers import Wav2Vec2Config, Wav2Vec2Model
         if self.random:
-            config = Wav2Vec2Config.from_pretrained(self.model_name)
+            try:
+                config = Wav2Vec2Config.from_pretrained(self.model_name)
+            except OSError:
+                # offline: build the xlsr-53 architecture explicitly
+                config = Wav2Vec2Config(
+                    hidden_size=1024, num_hidden_layers=24,
+                    num_attention_heads=16, intermediate_size=4096,
+                    do_stable_layer_norm=True, feat_extract_norm="layer")
             return Wav2Vec2Model(config)
         try:
             return Wav2Vec2Model.from_pretrained(self.model_name)

@@ -486,7 +486,10 @@ class Solver:
                                 return_output=with_negatives)
         rng = jax.random.PRNGKey(args.seed + self.epoch * 1000
                                  + (0 if training else 1))
-        losses = []
+        # keep per-step metrics as device scalars and fetch once at epoch
+        # end: a host sync costs a full dispatch round trip per step on
+        # relayed TPUs, and steps chain fine asynchronously
+        losses, keeps, counts = [], [], []
         for idx, (batch, pad_weight) in enumerate(loader):
             if idx >= total:
                 break
@@ -498,14 +501,19 @@ class Solver:
             self.state, metrics = step(self.state, arrays,
                                        jnp.asarray(pad_weight),
                                        negatives, negative_weight, sub)
-            losses.append(float(metrics["loss"]))
-            self._seen += int(metrics["count"])
-            self._rejected += int(metrics["count"]) - int(metrics["keep"])
+            losses.append(metrics["loss"])
+            keeps.append(metrics["keep"])
+            counts.append(metrics["count"])
             if with_negatives:
+                # the pool update needs the outputs on host (sync)
                 self._update_negative_pool(phase,
                                            np.asarray(metrics["output"]))
             if idx + 1 == total:
                 break
+        losses = [float(x) for x in losses]
+        self._seen += int(sum(float(c) for c in counts))
+        self._rejected += int(sum(float(c) - float(k)
+                                  for c, k in zip(counts, keeps)))
         metrics = {"loss": float(np.mean(losses))}
         if not training and metrics["loss"] < self.best_loss:
             self.best_loss = metrics["loss"]

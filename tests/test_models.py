@@ -106,6 +106,54 @@ class TestSimpleConv:
         assert np.abs(np.asarray(out_a) - np.asarray(out_b)).max() > 1e-4
 
 
+class TestSimpleConvExtras:
+    def test_stft_branch(self):
+        meg, _, subjects, positions = _batch(C=8, T=64)
+        model = SimpleConv(in_channels=dict(meg=8), out_channels=6,
+                           hidden=dict(meg=16), depth=2, n_fft=16,
+                           linear_out=True, subject_dim=0, n_subjects=4)
+        variables = model.init({"params": jax.random.PRNGKey(0)},
+                               dict(meg=meg), subjects, positions,
+                               train=False)
+        out = model.apply(variables, dict(meg=meg), subjects, positions)
+        assert out.shape == (2, 6, 64)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_dual_path_rnn(self):
+        from brainmagick_tpu.models.common import DualPathRNN
+
+        x = jnp.asarray(np.random.RandomState(0).randn(
+            2, 25, 8).astype(np.float32))
+        model = DualPathRNN(channels=8, depth=1, inner_length=10)
+        variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+        out = model.apply(variables, x)
+        assert out.shape == (2, 25, 8)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_channel_dropout_rescale(self):
+        from brainmagick_tpu.models.common import ChannelDropout
+
+        rng = np.random.RandomState(0)
+        meg = jnp.asarray(rng.randn(4, 30, 16).astype(np.float32))
+        positions = jnp.asarray(rng.rand(4, 16, 2).astype(np.float32))
+        model = ChannelDropout(dropout=0.3)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)}, meg, positions, train=True)
+        # eval: identity on valid channels
+        out_eval = model.apply(variables, meg, positions, train=False)
+        np.testing.assert_allclose(np.asarray(out_eval), np.asarray(meg),
+                                   atol=1e-6)
+        # train: some sensors dropped, others rescaled up
+        out_train = model.apply(variables, meg, positions, train=True,
+                                rngs={"dropout": jax.random.PRNGKey(7)})
+        arr = np.asarray(out_train)
+        orig = np.abs(np.asarray(meg))
+        # every entry is either dropped (0) or rescaled up by 1/p_keep
+        assert ((arr == 0) | (np.abs(arr) >= orig - 1e-5)).all()
+        assert not np.allclose(arr, np.asarray(meg))
+
+
 class TestConvRNN:
     def test_shapes(self):
         meg, features, subjects, positions = _batch(T=47)
