@@ -26,13 +26,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(meg_ref, center_ref, scale_ref, limit_ref, out_ref, peak_ref):
-    """One grid step = one batch row: [1, C, T] block in VMEM."""
+    """One grid step = one batch row: [1, C, T] meg block in VMEM;
+    center/scale stay whole ([B, C], ~KBs) and are indexed by row —
+    TPU tiling forbids sub-8 blocks on their leading dim."""
+    b = pl.program_id(0)
     x = meg_ref[...]                  # [1, C, T]
-    center = center_ref[...]          # [1, C]
-    scale = scale_ref[...]            # [1, C]
+    center = center_ref[b]            # [C]
+    scale = scale_ref[b]              # [C]
     limit = limit_ref[0]
-    normed = (x - center[..., None]) / scale[..., None]
-    peak_ref[0] = jnp.max(jnp.abs(normed))
+    normed = (x - center[None, :, None]) / scale[None, :, None]
+    peak_ref[b] = jnp.max(jnp.abs(normed))
     out_ref[...] = jnp.clip(normed, -limit, limit)
 
 
@@ -67,16 +70,16 @@ def normalize_clamp_peak(meg: jax.Array, center: jax.Array,
         in_specs=[
             pl.BlockSpec((1, C, T), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda b: (b, 0),
+            pl.BlockSpec((B, C), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda b: (b, 0),
+            pl.BlockSpec((B, C), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, C, T), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda b: (b,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B,), lambda b: (0,), memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, C, T), meg.dtype),
