@@ -1,0 +1,173 @@
+"""Mock-filesystem tests for the Brennan2019 and Broderick2019 EEG
+adapters (the reference tests neither — fabricated .mat/JSON layouts
+prove the parsers end to end)."""
+
+import json
+import wave
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+from scipy.io import savemat
+
+from brainmagick_tpu.env import env
+
+WORDS = ("alice was beginning to get very tired of sitting by her sister "
+         "on the bank").split()
+
+
+def _write_wav(path: Path, seconds: float = 3.0) -> None:
+    path.parent.mkdir(parents=True, exist_ok=True)
+    n = int(16000 * seconds)
+    sig = (np.sin(2 * np.pi * 180 * np.arange(n) / 16000) * 15000
+           ).astype(np.int16)
+    with wave.open(str(path), "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(16000)
+        f.writeframes(sig.tobytes())
+
+
+@pytest.fixture()
+def brennan_root(tmp_path):
+    root = tmp_path / "brennan"
+    download = root / "download"
+    (download / "proc").mkdir(parents=True)
+
+    n_trials = 2129
+    sfreq = 500.0
+    rng = np.random.RandomState(0)
+    # proc: trl matrix [start_sample, stop_sample, offset, order]
+    starts = (np.arange(n_trials) * 150 + 500).astype(float)
+    trl = np.stack([starts, starts + 120, np.zeros(n_trials),
+                    np.ones(n_trials), np.arange(n_trials, dtype=float)],
+                   axis=1)
+    proc = dict(trl=trl, tot_trials=float(n_trials), tot_chans=61.0,
+                varnames=np.array(["segment", "order"], dtype=object),
+                impedence=dict(bads=np.array([], dtype=object)),
+                rejections=dict(badchans=np.array([], dtype=object)))
+    savemat(download / "proc" / "S01.mat", dict(proc=proc))
+
+    # AliceChapterOne-EEG.csv: one row per trial
+    n_words = len(WORDS)
+    story = pd.DataFrame({
+        "Word": [WORDS[k % n_words] for k in range(n_trials)],
+        "Position": [k % 10 for k in range(n_trials)],
+        "Sentence": [k // 10 for k in range(n_trials)],
+        "Segment": [1 + (k // 1100) for k in range(n_trials)],
+        "onset": [0.1] * n_trials,
+        "offset": [0.4] * n_trials,
+    })
+    story.to_csv(download / "AliceChapterOne-EEG.csv", index=False)
+
+    for seg in (1, 2):
+        _write_wav(download / "audio"
+                   / f"DownTheRabbitHoleFinal_SoundFile{seg}.wav",
+                   seconds=700.0 / 16)  # keep tiny but long enough
+
+    # raw EEG struct
+    n_samp = int(sfreq * 700)
+    labels = [str(i + 1 + (i >= 28)) for i in range(60)] + ["VEOG", "AUD"]
+    raw = dict(
+        hdr=dict(Fs=sfreq, nChans=62.0, nSamples=float(n_samp),
+                 label=np.array(labels, dtype=object),
+                 chantype=np.array(["eeg"] * 62, dtype=object),
+                 chanunit=np.array(["uV"] * 62, dtype=object),
+                 nSamplesPre=0.0, nTrials=1.0),
+        fsample=sfreq,
+        time=np.arange(n_samp) / sfreq,
+        sampleinfo=np.array([1.0, float(n_samp)]),
+        trial=rng.randn(62, n_samp).astype(np.float32),
+    )
+    savemat(download / "S01.mat", dict(raw=raw))
+
+    cache = tmp_path / "fake_cache"
+    cache.mkdir()
+    with env.temporary(studies={"brennan2019": root}, cache=cache):
+        yield root
+
+
+def test_brennan_pipeline(brennan_root):
+    from brainmagick_tpu import studies
+
+    recs = list(studies.register["brennan2019"].iter())
+    assert len(recs) == 1
+    rec = recs[0]
+    raw = rec.raw()
+    assert raw.data.shape[0] == 60  # EEG picks only
+    assert raw.sample_rate == 500.0
+    events = rec.events()
+    assert {"word", "sound", "block"} <= set(events.kind)
+    words = events[events.kind == "word"]
+    assert len(words) == 2129
+    assert words.word.iloc[0] == "alice"
+    # trial start samples converted to seconds
+    assert words.start.iloc[0] == pytest.approx(500 / 500.0)
+    sounds = events[events.kind == "sound"]
+    assert len(sounds) == 2
+    for s in sounds.itertuples():
+        assert Path(s.filepath).exists()
+
+
+@pytest.fixture()
+def broderick_root(tmp_path):
+    root = tmp_path / "broderick"
+    private = root / "download" / "private"
+    private.mkdir(parents=True)
+    eeg_dir = root / "download" / "Natural Speech" / "EEG" / "Subject1"
+    eeg_dir.mkdir(parents=True)
+
+    # the reference parser asserts >450 aligned words per run
+    nouns = ["man", "sea", "boat", "fish", "line", "sail", "wind", "boy",
+             "shark", "hand"]
+    verbs = ["saw", "held", "pulled", "watched", "loved", "caught",
+             "lost", "found", "heard", "felt"]
+    sentences = [f"The old {nouns[k % 10]} {verbs[(k * 3) % 10]} the "
+                 f"big {nouns[(k * 7 + 3) % 10]}." for k in range(100)]
+    text = " ".join(sentences)
+    (private / "oldman_run1.txt").write_text(text)
+
+    # gentle-style alignment JSON
+    t = 0.5
+    entries = []
+    for word in text.replace(".", "").split():
+        dur = 0.05 * len(word) + 0.1
+        phones = [dict(phone=f"{c}_B", duration=dur / 2) for c in word[:2]]
+        entries.append(dict(case="success", word=word, alignedWord=word,
+                            start=round(t, 3), end=round(t + dur, 3),
+                            phones=phones, startOffset=0, endOffset=1))
+        t += dur + 0.12
+    (private / "align1.json").write_text(json.dumps(dict(words=entries)))
+    _write_wav(private / "audio1.wav", seconds=t + 1)
+
+    mat = dict(fs=np.array([[128.0]]),
+               eegData=np.random.RandomState(0).randn(
+                   int(128 * (t + 2)), 128).astype(np.float32),
+               mastoids=np.zeros((int(128 * (t + 2)), 2)))
+    savemat(eeg_dir / "Subject1_Run1.mat", mat)
+
+    cache = tmp_path / "fake_cache"
+    cache.mkdir()
+    with env.temporary(studies={"broderick2019": root}, cache=cache):
+        yield root
+
+
+def test_broderick_pipeline(broderick_root):
+    from brainmagick_tpu import studies
+
+    recs = list(studies.register["broderick2019"].iter())
+    assert len(recs) == 20  # 1 subject x 20 runs
+    rec = recs[0]
+    assert rec.recording_uid == "1_run1"
+    raw = rec.raw()
+    assert raw.data.shape[0] == 128
+    assert raw.sample_rate == 128.0
+    events = rec.events()
+    assert {"word", "phoneme", "sound", "block"} <= set(events.kind)
+    words = events[events.kind == "word"]
+    assert words.word.iloc[0].lower() == "the"
+    # sentence segmentation found multiple sequences
+    assert words.sequence_id.nunique() >= 3
+    blocks = events[events.kind == "block"]
+    assert len(blocks) >= 3
