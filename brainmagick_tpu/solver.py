@@ -24,7 +24,6 @@ import logging
 import pickle
 import time
 import typing as tp
-from functools import partial
 
 import jax
 import jax.numpy as jnp

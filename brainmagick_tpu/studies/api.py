@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 
 from ..env import env
-from ..utils import Frequency, write_and_rename
+from ..utils import write_and_rename
 
 logger = logging.getLogger(__name__)
 
