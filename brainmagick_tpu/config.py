@@ -323,6 +323,16 @@ def apply_preset(cfg: MainConfig, name: str) -> MainConfig:
         cfg.dset.features = ["WordSegment"]
         cfg.optim.loss = "regression_classification"
         cfg.task.type = "decode"
+    elif name == "tiny":
+        # CPU-smoke-run scale: the full paper model takes >10 min/epoch
+        # on a single CPU core
+        cfg.simpleconv.update(
+            hidden=24, depth=2, kernel_size=3, dilation_period=2,
+            skip=True, glu=2, glu_context=1, merger=True,
+            merger_channels=16, merger_pos_dim=32, initial_linear=16,
+            gelu=True, batch_norm=True, subject_layers=True,
+            subject_dim=0, complex_out=True)
+        cfg.optim.batch_size = 8
     elif name == "none":
         cfg.feature_model_name = None
     else:

@@ -259,6 +259,9 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     [output=eval_dir] (run_eval_probs.py __main__ parity; the submitit
     array mode maps to the grids runner)."""
     import sys
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(levelname)s %(name)s: %(message)s")
     from .play import get_solver_from_sig
 
     tokens = dict(t.split("=", 1) for t in (argv or sys.argv[1:]))

@@ -56,7 +56,11 @@ class Gwilliams2022Recording(api.Recording):
                                                (str(k) for k in range(4))):
             bids_dir = (paths.download / f"sub-{subject}" / f"ses-{session}"
                         / "meg")
-            if not bids_dir.exists():
+            stem = f"sub-{subject}_ses-{session}_task-{story}_meg"
+            # one recording per existing task file (the reference checks
+            # the BIDSPath per story, gwilliams2022.py:76-84)
+            if not any((bids_dir / (stem + ext)).exists()
+                       for ext in (".fif", ".con", ".ds")):
                 continue
             yield cls(subject_uid=subject, session=session, story=story)
 
@@ -75,8 +79,21 @@ class Gwilliams2022Recording(api.Recording):
                   f"_task-{self.story}_meg")
 
     def _load_raw(self) -> api.RawData:
-        from .io import read_fif
-        return read_fif(self._bids_stem().with_suffix(".fif"))
+        from .io import FIFFV_MEG_CH, read_fif
+        raw = read_fif(self._bids_stem().with_suffix(".fif"))
+        if raw.ch_kinds is not None:
+            # keep MEG data channels only (reference pick_types,
+            # gwilliams2022.py:107-108)
+            import numpy as np
+            keep = np.flatnonzero(np.asarray(raw.ch_kinds) == FIFFV_MEG_CH)
+            if len(keep) and len(keep) < raw.n_channels:
+                raw = api.RawData(
+                    data=np.ascontiguousarray(raw.data[keep]),
+                    sample_rate=raw.sample_rate,
+                    ch_names=[raw.ch_names[i] for i in keep],
+                    positions=raw.positions[keep],
+                    ch_kinds=[raw.ch_kinds[i] for i in keep])
+        return raw
 
     def _load_events(self) -> pd.DataFrame:
         """Parse the BIDS events.tsv whose trial_type column carries python

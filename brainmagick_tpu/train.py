@@ -168,7 +168,8 @@ def parse_overrides(argv: tp.Sequence[str],
             else:
                 target[last] = value
         else:
-            assert hasattr(target, last), f"Unknown config key {key}"
+            if not hasattr(target, last):
+                raise ValueError(f"Unknown config key {key!r}")
             setattr(target, last, value)
     return args
 

@@ -1,0 +1,106 @@
+"""Mock-BIDS test for the gwilliams2022 adapter (headline study):
+participants.tsv + events.tsv with dict-literal trial_type + FIF raw
+written by our own writer."""
+
+import wave
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from brainmagick_tpu.env import env
+from brainmagick_tpu.studies.api import RawData
+from brainmagick_tpu.studies.io import write_fif
+
+SENTENCES = ["the cat sat on the mat", "a dog ran over the hill"]
+
+
+def _write_wav(path: Path, seconds: float) -> None:
+    path.parent.mkdir(parents=True, exist_ok=True)
+    n = int(16000 * seconds)
+    sig = (np.sin(2 * np.pi * 200 * np.arange(n) / 16000) * 15000
+           ).astype(np.int16)
+    with wave.open(str(path), "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(16000)
+        f.writeframes(sig.tobytes())
+
+
+@pytest.fixture()
+def gwilliams_root(tmp_path):
+    root = tmp_path / "gwilliams"
+    download = root / "download"
+    download.mkdir(parents=True)
+    pd.DataFrame({"participant_id": ["sub-01"]}).to_csv(
+        download / "participants.tsv", sep="\t", index=False)
+
+    meg_dir = download / "sub-01" / "ses-0" / "meg"
+    meg_dir.mkdir(parents=True)
+    stem = "sub-01_ses-0_task-0"
+
+    # events.tsv: sound + word rows with dict-literal trial_type
+    rows = []
+    t = 1.0
+    _write_wav(download / "stimuli" / "audio" / "story0.wav", 30.0)
+    for seq_id, sentence in enumerate(SENTENCES):
+        rows.append(dict(onset=t, duration=10.0, trial_type=repr(dict(
+            kind="sound", sound="stimuli/audio/story0.WAV.wav"))))
+        for word in sentence.split():
+            rows.append(dict(onset=t, duration=0.25, trial_type=repr(dict(
+                kind="word", word=word, sequence_id=seq_id,
+                condition="sentence"))))
+            t += 0.4
+        t += 2.0
+    pd.DataFrame(rows).to_csv(meg_dir / f"{stem}_events.tsv", sep="\t",
+                              index=False)
+
+    # FIF raw: 16 MEG channels @ 1000 Hz
+    rng = np.random.RandomState(0)
+    n_chan = 16
+    positions = rng.rand(n_chan, 2).astype(np.float32)
+    raw = RawData(data=rng.randn(n_chan, int(1000 * (t + 2))
+                                 ).astype(np.float32),
+                  sample_rate=1000.0,
+                  ch_names=[f"MEG{k:03d}" for k in range(n_chan)],
+                  positions=positions, ch_kinds=[1] * n_chan)
+    write_fif(meg_dir / f"{stem}_meg.fif", raw)
+
+    cache = tmp_path / "fake_cache"
+    cache.mkdir()
+    with env.temporary(studies={"gwilliams2022": root}, cache=cache):
+        yield root
+
+
+def test_gwilliams_pipeline(gwilliams_root):
+    from brainmagick_tpu import studies
+
+    recs = list(studies.register["gwilliams2022"].iter())
+    assert len(recs) == 1
+    rec = recs[0]
+    assert rec.recording_uid == "01_session0_story0"
+
+    raw = rec.raw()
+    assert raw.n_channels == 16
+    assert raw.sample_rate == 1000.0
+
+    events = rec.events()
+    assert {"word", "sound", "block"} <= set(events.kind)
+    words = events[events.kind == "word"]
+    assert list(words.word) == (SENTENCES[0].split()
+                                + SENTENCES[1].split())
+    # sequence info extracted: word_index restarts per sentence
+    assert list(words.word_index[:6]) == [0, 1, 2, 3, 4, 5]
+    assert words.word_sequence.iloc[0] == SENTENCES[0]
+    # blocks by sentence
+    blocks = events[events.kind == "block"]
+    assert len(blocks) == 2
+    # sound filepath resolved (lowercased stem + real extension)
+    sounds = events[events.kind == "sound"]
+    assert all(Path(f).exists() for f in sounds.filepath)
+
+    # preprocessing runs through the XLA kernels and caches
+    pre = rec.preprocessed(100)
+    assert pre.sample_rate == 100
+    assert abs(pre.data.shape[1] - raw.n_times // 10) <= 1
