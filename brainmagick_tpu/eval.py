@@ -265,12 +265,27 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     from .play import get_solver_from_sig
 
     tokens = dict(t.split("=", 1) for t in (argv or sys.argv[1:]))
-    sig = tokens["sig"]
     out_dir = tokens.get("out_dir", "./outputs")
-    output = tokens.get("output", str(Path(out_dir) / "eval" / sig))
-    solver = get_solver_from_sig(sig, out_dir=out_dir, training=False)
-    run_eval(solver, output,
-             n_negatives=int(tokens.get("n_negatives", 20_000)))
+    n_negatives = int(tokens.get("n_negatives", 20_000))
+
+    if "grid" in tokens:
+        # evaluate every trained XP of a grid (replaces the reference's
+        # submitit array, run_eval_probs.py:497-513; sequential here)
+        from .grids import get_grid
+        _, jobs = get_grid(tokens["grid"])
+        sigs = [job.sig for job in jobs]
+        sigs = [s for s in sigs
+                if (Path(out_dir) / "xps" / s / "checkpoint.pkl").exists()]
+        logger.info("Evaluating %d trained XPs of grid %s", len(sigs),
+                    tokens["grid"])
+    else:
+        sigs = [tokens["sig"]]
+
+    for sig in sigs:
+        output = tokens.get("output", str(Path(out_dir) / "eval" / sig))
+        solver = get_solver_from_sig(sig, out_dir=out_dir, training=False)
+        run_eval(solver, output, n_negatives=n_negatives,
+                 test_study=tokens.get("test_study"))
 
 
 if __name__ == "__main__":
