@@ -231,6 +231,7 @@ class MainConfig:
         broderick2019=dict(study="broderick2019"),
         brennan2019=dict(study="brennan2019"),
         fake=dict(study="fake"),
+        fakeeeg=dict(study="fakeeeg"),
     )
 
     # -- identity -----------------------------------------------------------
