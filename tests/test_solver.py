@@ -123,3 +123,19 @@ def test_checkpoint_resume(tmp_cache, tmp_path):
     assert args3.sig != args.sig
     solver3 = bm_train.get_solver(args3)
     assert solver3.epoch == 1  # fresh XP, warm-started weights
+
+
+@pytest.mark.slow
+def test_negative_pool(tmp_cache, tmp_path):
+    """optim.negatives tops candidates up from the rolling pool
+    (bm/solver.py:359-371 semantics)."""
+    args = tiny_args(tmp_cache, tmp_path, epochs=2)
+    args.optim.negatives = 16          # > batch_size 8
+    solver = bm_train.get_solver(args)
+    assert args.optim.negative_pool_size is None
+    best = solver.train()
+    # default pool size = 2 * negatives, set on first use
+    assert args.optim.negative_pool_size == 32
+    pool = solver.negative_pool["train"]
+    assert pool is not None and 0 < len(pool) <= 32
+    assert np.isfinite(best)
