@@ -61,6 +61,11 @@ def main() -> None:
     subjects = jnp.asarray(rng.randint(0, N_SUBJECTS, B))
     positions = jnp.asarray(rng.rand(B, C, 2).astype(np.float32))
 
+    # positions are per-recording constants: precompute the merger's
+    # fourier embedding once (saves ~2*C*D transcendentals per step)
+    from brainmagick_tpu.models.common import fourier_emb
+    pos_emb = fourier_emb(positions, 2048)
+
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         dict(meg=meg), subjects, positions, train=False)
@@ -78,6 +83,7 @@ def main() -> None:
             out, mutated = model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 dict(meg=meg_in), subjects, positions, train=True,
+                pos_emb=pos_emb,
                 rngs={"dropout": rng}, mutable=["batch_stats"])
             loss = clip.apply({}, out, target, train=True)
             return loss, mutated["batch_stats"]

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import threading
 import typing as tp
 from collections import namedtuple
 from concurrent import futures
@@ -142,33 +143,40 @@ class SegmentDataset:
         self._n_times = self.sample_rate.to_ind(tmax - tmin) + 1
         self._track: tp.Optional[np.ndarray] = None  # [D+1, T] features+mask
         self._track_sr: tp.Optional[Frequency] = None
+        self._track_lock = threading.Lock()
         self._meg_override: tp.Optional[np.ndarray] = None  # autoreject
 
     # -- feature track -------------------------------------------------------
 
     def _get_track(self) -> tp.Tuple[np.ndarray, Frequency]:
-        """Dense per-recording feature track (memmap-cached)."""
+        """Dense per-recording feature track (memmap-cached). Guarded by
+        a lock: loader worker threads share this dataset and must not
+        render (and cache-write) the track concurrently."""
         if self._track is None:
-            track_sr = self.features.render_sample_rate
-            duration = self.raw.duration
-
-            def compute() -> np.ndarray:
-                data, mask, _ = self.features(0.0, duration)
-                return np.concatenate(
-                    [data, mask.astype(np.float32)], axis=0)
-
-            cache = Cache("feature_tracks", args=dict(
-                study=self.recording.study_name(),
-                recording=self.recording.recording_uid,
-                features=list(self.features.keys()),
-                features_params=self.features_params,
-                sample_rate=float(track_sr),
-                event_mask=self.features.event_mask,
-                events_fingerprint=_events_fingerprint(self.events),
-            ), mode="memmap")
-            self._track = cache.get(compute)
-            self._track_sr = track_sr
+            with self._track_lock:
+                if self._track is None:
+                    self._render_track()
         return self._track, self._track_sr
+
+    def _render_track(self) -> None:
+        track_sr = self.features.render_sample_rate
+        duration = self.raw.duration
+
+        def compute() -> np.ndarray:
+            data, mask, _ = self.features(0.0, duration)
+            return np.concatenate([data, mask.astype(np.float32)], axis=0)
+
+        cache = Cache("feature_tracks", args=dict(
+            study=self.recording.study_name(),
+            recording=self.recording.recording_uid,
+            features=list(self.features.keys()),
+            features_params=self.features_params,
+            sample_rate=float(track_sr),
+            event_mask=self.features.event_mask,
+            events_fingerprint=_events_fingerprint(self.events),
+        ), mode="memmap")
+        self._track_sr = track_sr
+        self._track = cache.get(compute)
 
     # -- epochs ---------------------------------------------------------------
 

@@ -79,23 +79,30 @@ class Loader:
             return batch, pad_weight
 
         def producer():
-            # sliding window of outstanding jobs so memory stays bounded
-            window = self.num_workers + self.prefetch
-            with futures.ThreadPoolExecutor(self.num_workers) as pool:
-                jobs: "queue.Queue" = queue.Queue()
-                next_b = 0
-                while next_b < min(window, n_batches):
-                    jobs.put(pool.submit(build, next_b))
-                    next_b += 1
-                while not jobs.empty():
-                    job = jobs.get()
-                    if stop.is_set():
-                        return
-                    q.put(job.result())
-                    if next_b < n_batches:
+            # sliding window of outstanding jobs so memory stays bounded.
+            # Exceptions are forwarded through the queue — a dead producer
+            # that never enqueues the sentinel would deadlock the consumer.
+            try:
+                window = self.num_workers + self.prefetch
+                with futures.ThreadPoolExecutor(self.num_workers) as pool:
+                    jobs: "queue.Queue" = queue.Queue()
+                    next_b = 0
+                    while next_b < min(window, n_batches):
                         jobs.put(pool.submit(build, next_b))
                         next_b += 1
-            q.put(None)
+                    while not jobs.empty():
+                        job = jobs.get()
+                        if stop.is_set():
+                            for other in list(jobs.queue):
+                                other.cancel()
+                            return
+                        q.put(job.result())
+                        if next_b < n_batches:
+                            jobs.put(pool.submit(build, next_b))
+                            next_b += 1
+                q.put(None)
+            except BaseException as exc:  # noqa: BLE001 - forwarded
+                q.put(exc)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -104,6 +111,14 @@ class Loader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()
+            # unblock a producer waiting on the bounded queue
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break

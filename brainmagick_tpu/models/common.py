@@ -190,11 +190,17 @@ class ChannelMerger(nn.Module):
 
     @nn.compact
     def __call__(self, meg: jax.Array, positions: jax.Array,
-                 subjects: jax.Array, train: bool = False) -> jax.Array:
+                 subjects: jax.Array, train: bool = False,
+                 pos_emb: tp.Optional[jax.Array] = None) -> jax.Array:
         # meg: [B, T, C]; positions: [B, C, 2]; subjects: [B]
+        # pos_emb: optional precomputed fourier_emb(positions) [B, C, D] —
+        # positions are constant per recording, so callers can compute the
+        # embedding once per recording instead of 2*C*D transcendentals
+        # per forward (see solver.norm_arrays / bench.py)
         assert self.pos_dim % 4 == 0
         B, T, C = meg.shape
-        embedding = fourier_emb(positions, self.pos_dim)  # [B, C, D]
+        embedding = pos_emb if pos_emb is not None \
+            else fourier_emb(positions, self.pos_dim)  # [B, C, D]
 
         score_offset = jnp.where(is_invalid_position(positions),
                                  -jnp.inf, 0.0)  # [B, C]

@@ -92,9 +92,11 @@ class SimpleConv(nn.Module):
     @nn.compact
     def __call__(self, inputs: tp.Mapping[str, jax.Array],
                  subject_index: jax.Array, positions: jax.Array,
-                 train: bool = False) -> jax.Array:
+                 train: bool = False,
+                 pos_emb: tp.Optional[jax.Array] = None) -> jax.Array:
         """inputs: {'meg': [B, C, T], 'features': [B, F, T](encode task)};
-        positions: [B, C, 2]; returns [B, out_channels, T]."""
+        positions: [B, C, 2]; pos_emb: optional precomputed merger
+        positional embedding [B, C, pos_dim]; returns [B, out, T]."""
         if set(self.in_channels.keys()) != set(self.hidden.keys()):
             raise ValueError("in_channels and hidden keys must match "
                              f"({set(self.in_channels)} vs {set(self.hidden)})")
@@ -130,7 +132,8 @@ class SimpleConv(nn.Module):
                     usage_penalty=self.merger_penalty,
                     n_subjects=self.n_subjects,
                     per_subject=self.merger_per_subject)(
-                        meg, positions, subject_index, train=train)
+                        meg, positions, subject_index, train=train,
+                        pos_emb=pos_emb)
                 in_channels["meg"] = self.merger_channels
             if self.initial_linear:
                 for d in range(self.initial_depth):

@@ -163,7 +163,29 @@ class Solver:
             arrays = self.scaler.export_arrays(n_rec, n_chan)
             self._norm_arrays = {k: jnp.asarray(v)
                                  for k, v in arrays.items()}
+            self._norm_arrays["pos_emb"] = self._pos_emb_table(n_rec,
+                                                               n_chan)
         return self._norm_arrays
+
+    def _pos_emb_table(self, n_rec: int, n_chan: int
+                       ) -> tp.Optional[jnp.ndarray]:
+        """Per-recording merger positional embeddings [R, C, pos_dim]
+        (positions are fixed per recording; computing 2*C*D cos/sin per
+        forward wastes VPU time — see ChannelMerger)."""
+        from .models import SimpleConv
+        from .models.common import fourier_emb
+        from .studies.api import INVALID_POSITION
+
+        if not (isinstance(self.model, SimpleConv) and self.model.merger):
+            return None
+        positions = np.full((n_rec, n_chan, 2), INVALID_POSITION,
+                            dtype=np.float32)
+        for split in self.datasets:
+            for dset in split.datasets:
+                positions[dset.recording.recording_index] = \
+                    dset._get_positions()
+        return jnp.asarray(fourier_emb(jnp.asarray(positions),
+                                       self.model.merger_pos_dim))
 
     def _example_batch(self) -> SegmentBatch:
         item = self.datasets.train[0]
@@ -294,9 +316,12 @@ class Solver:
             mutable.append("batch_stats")
         if train:
             mutable.append("losses")
+        model_kwargs = {}
+        if na.get("pos_emb") is not None:
+            model_kwargs["pos_emb"] = na["pos_emb"][rec]
         out = self.model.apply(
             variables, inputs, arrays["subject_index"],
-            arrays["positions"], train=train,
+            arrays["positions"], train=train, **model_kwargs,
             rngs={"dropout": rng}, mutable=mutable if mutable else False)
         estimate, mutated = out if mutable else (out, {})
         new_bs = dict(batch_stats)

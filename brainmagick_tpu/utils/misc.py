@@ -69,7 +69,10 @@ def write_and_rename(path: tp.Union[str, Path], mode: str = "wb",
     """
     tmp_path = str(path) + suffix
     if pid:
-        tmp_path += f".{os.getpid()}"
+        # thread id too: concurrent threads of one process must not
+        # collide on the temp name
+        import threading
+        tmp_path += f".{os.getpid()}.{threading.get_ident()}"
     with open(tmp_path, mode) as f:
         yield f
     os.rename(tmp_path, str(path))
