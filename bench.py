@@ -75,7 +75,9 @@ def main() -> None:
     opt_state = tx.init(params)
 
     def train_step(params, batch_stats, opt_state, meg, features,
-                   subjects, positions, rng):
+                   subjects, positions, pos_emb, rng):
+        # pos_emb travels as an argument: closing over the [B, C, 2048]
+        # table would bake a ~570MB constant into the compiled HLO
         meg_in = jnp.clip(meg, -20., 20.)[..., OFFSET:]
         target = features[..., :-OFFSET]
 
@@ -102,14 +104,14 @@ def main() -> None:
     # a reliable barrier.
     params, batch_stats, opt_state, loss = step(
         params, batch_stats, opt_state, meg, features, subjects,
-        positions, key)
+        positions, pos_emb, key)
     _ = float(loss)
 
     # calibrate the step time, then time enough steps for ~30s
     t0 = time.perf_counter()
     params, batch_stats, opt_state, loss = step(
         params, batch_stats, opt_state, meg, features, subjects,
-        positions, key)
+        positions, pos_emb, key)
     _ = float(loss)
     step_time = time.perf_counter() - t0
     n_steps = max(3, min(30, int(30.0 / max(step_time, 1e-3))))
@@ -119,7 +121,7 @@ def main() -> None:
         key = jax.random.fold_in(key, k)
         params, batch_stats, opt_state, loss = step(
             params, batch_stats, opt_state, meg, features, subjects,
-            positions, key)
+            positions, pos_emb, key)
     _ = float(loss)
     elapsed = time.perf_counter() - t0
 

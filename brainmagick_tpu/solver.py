@@ -274,12 +274,14 @@ class Solver:
 
     # -- the jitted step --------------------------------------------------------
 
-    def _forward(self, params, batch_stats, arrays, pad_weight, rng,
+    def _forward(self, params, batch_stats, arrays, na, pad_weight, rng,
                  train: bool):
-        """Full _process_batch equivalent on device. Returns
-        (estimate, output, mask, keep, new_batch_stats, penalty)."""
+        """Full _process_batch equivalent on device. `na` carries the
+        normalization arrays + positional-embedding table — passed as
+        arguments (NOT closures) so jit treats them as device buffers
+        instead of baking hundreds of MB of constants into the HLO.
+        Returns (estimate, output, mask, keep, new_batch_stats, penalty)."""
         args = self.args
-        na = self.norm_arrays
         meg = arrays["meg"]
         features = arrays["features"]
         rec = arrays["recording_index"]
@@ -381,12 +383,12 @@ class Solver:
         self.mesh = mesh
         self._jit_cache.clear()
 
-    def _loss_and_aux(self, params, batch_stats, arrays, pad_weight,
+    def _loss_and_aux(self, params, batch_stats, arrays, na, pad_weight,
                       negatives, negative_weight, rng, train: bool,
                       return_output: bool):
         """Forward + loss on (a shard of) the batch."""
         estimate, output, mask, keep, new_bs, penalty = self._forward(
-            params, batch_stats, arrays, pad_weight, rng, train)
+            params, batch_stats, arrays, na, pad_weight, rng, train)
         loss = self._loss_value(params, estimate, output, mask, keep,
                                 negatives, negative_weight, train)
         if train:
@@ -423,13 +425,14 @@ class Solver:
             axis = mesh.axis_names[0]
             batch_spec = {name: P(axis) for name in SegmentBatch.ARRAY_FIELDS}
 
-            def sharded_loss(params, batch_stats, arrays, pad_weight,
+            def sharded_loss(params, batch_stats, arrays, na, pad_weight,
                              negatives, negative_weight, rngs):
-                def local(params, batch_stats, arrays, pad_weight,
+                def local(params, batch_stats, arrays, na, pad_weight,
                           negatives, negative_weight, rngs):
                     loss, aux = self._loss_and_aux(
-                        params, batch_stats, arrays, pad_weight, negatives,
-                        negative_weight, rngs[0], train, return_output)
+                        params, batch_stats, arrays, na, pad_weight,
+                        negatives, negative_weight, rngs[0], train,
+                        return_output)
                     loss = jax.lax.pmean(loss, axis)
                     aux["keep"] = jax.lax.psum(aux["keep"], axis)
                     aux["new_bs"] = jax.tree_util.tree_map(
@@ -442,27 +445,27 @@ class Solver:
                     out_aux_spec["output"] = P(axis)
                 return shard_map(
                     local, mesh=mesh,
-                    in_specs=(P(), P(), batch_spec, P(axis), neg_spec,
+                    in_specs=(P(), P(), batch_spec, P(), P(axis), neg_spec,
                               neg_spec, P(axis)),
                     out_specs=(P(), out_aux_spec),
-                )(params, batch_stats, arrays, pad_weight, negatives,
+                )(params, batch_stats, arrays, na, pad_weight, negatives,
                   negative_weight, rngs)
 
-        def step(state, arrays, pad_weight, negatives, negative_weight,
-                 rng):
+        def step(state, arrays, na, pad_weight, negatives,
+                 negative_weight, rng):
             if mesh is not None:
                 rngs = jax.random.split(rng, mesh.size)
 
                 def loss_fn(params):
                     return sharded_loss(params, state["batch_stats"],
-                                        arrays, pad_weight, negatives,
+                                        arrays, na, pad_weight, negatives,
                                         negative_weight, rngs)
             else:
                 def loss_fn(params):
                     return self._loss_and_aux(
-                        params, state["batch_stats"], arrays, pad_weight,
-                        negatives, negative_weight, rng, train,
-                        return_output)
+                        params, state["batch_stats"], arrays, na,
+                        pad_weight, negatives, negative_weight, rng,
+                        train, return_output)
 
             if train:
                 (loss_val, aux), grads = jax.value_and_grad(
@@ -523,6 +526,7 @@ class Solver:
                 batch_size=len(batch)) if with_negatives else (None, None)
             rng, sub = jax.random.split(rng)
             self.state, metrics = step(self.state, arrays,
+                                       self.norm_arrays,
                                        jnp.asarray(pad_weight),
                                        negatives, negative_weight, sub)
             losses.append(metrics["loss"])
@@ -682,7 +686,7 @@ class Solver:
         rng = jax.random.PRNGKey(0)
         estimate, output, mask, keep, _, _ = self._forward(
             self.state["params"], self.state["batch_stats"], arrays,
-            pad_weight, rng, train=training)
+            self.norm_arrays, pad_weight, rng, train=training)
         return (np.asarray(estimate), np.asarray(output), np.asarray(mask),
                 np.asarray(keep) > 0.5)
 

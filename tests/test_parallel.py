@@ -46,11 +46,13 @@ def test_mesh_equals_single_device_eval(tmp_cache, tmp_path):
     rng = jax.random.PRNGKey(0)
 
     step1 = solver._build_step(False, False, False)
-    _, m1 = step1(solver.state, arrays, pw, None, None, rng)
+    _, m1 = step1(solver.state, arrays, solver.norm_arrays, pw, None,
+                  None, rng)
 
     solver.set_mesh(make_mesh(4))
     step4 = solver._build_step(False, False, False)
-    _, m4 = step4(solver.state, arrays, pw, None, None, rng)
+    _, m4 = step4(solver.state, arrays, solver.norm_arrays, pw, None,
+                  None, rng)
     # masked MSE is a weighted mean; pmean of per-shard means == global
     # mean when shards have equal weight counts — allow small tolerance
     np.testing.assert_allclose(float(m1["loss"]), float(m4["loss"]),
