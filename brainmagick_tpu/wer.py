@@ -113,6 +113,10 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
     soft_correct = 0.
     chunk = 64
     n = len(estimates)
+    # the fixed negative pool is shared by every row: compute its vocab
+    # grouping once (the reference re-runs unique per estimate,
+    # bm/wer.py:102-104 — O(N log N) x n_estimates)
+    vocab_f, inv_f = np.unique(fixed_hashes, return_inverse=True)
     for lo in range(0, n, chunk):
         est = estimates[lo:lo + chunk]
         own = outputs[lo:lo + chunk]
@@ -129,9 +133,18 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
             p = probas[r]
             best = np.argpartition(p, -topx)[-topx:]
             correct += float((hashes_row[best] == wh[r]).any())
-            vocab, inv = np.unique(hashes_row, return_inverse=True)
-            p_vocab = np.bincount(inv, weights=p)
-            bests_vocab = np.argpartition(p_vocab, -topx)[-topx:]
+            # vocab probabilities: fixed grouping + the own-output column
+            p_vocab = np.bincount(inv_f, weights=p[:-1],
+                                  minlength=len(vocab_f))
+            j = np.searchsorted(vocab_f, wh[r])
+            if j < len(vocab_f) and vocab_f[j] == wh[r]:
+                p_vocab[j] += p[-1]
+                vocab = vocab_f
+            else:
+                vocab = np.append(vocab_f, wh[r])
+                p_vocab = np.append(p_vocab, p[-1])
+            k = min(topx, len(p_vocab))
+            bests_vocab = np.argpartition(p_vocab, -k)[-k:]
             correct_vocab += float((vocab[bests_vocab] == wh[r]).any())
             soft_correct += float(p[hashes_row == wh[r]].sum())
     correct /= n
