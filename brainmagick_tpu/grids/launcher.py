@@ -106,6 +106,45 @@ class Launcher:
         return job
 
 
+class SimpleGridSearcher:
+    """Naive grid search over parameter groups (bm/grids/_utils.py:53-152).
+
+    Values given in the same `define_grid_param` call vary together
+    (zipped); separate calls are crossed. Non-list values are constants;
+    None drops the key for that combination.
+
+        searcher = SimpleGridSearcher()
+        searcher.define_grid_param({"optim.lr": [1e-4, 3e-4]})
+        searcher.define_grid_param({"dset.n_subjects": [4, None]})
+        searcher.grid_search(launcher)
+    """
+
+    def __init__(self) -> None:
+        self._groups: tp.List[tp.List[tp.Dict[str, tp.Any]]] = []
+
+    def define_grid_param(self, args_dict: tp.Mapping[str, tp.Any]) -> None:
+        lists = {k: (v if isinstance(v, list) else [v])
+                 for k, v in args_dict.items()}
+        lengths = {len(v) for v in lists.values()}
+        assert len(lengths) == 1, \
+            "params in one group must have the same number of values"
+        group = []
+        for idx in range(lengths.pop()):
+            combo = {k: v[idx] for k, v in lists.items()}
+            group.append({k: v for k, v in combo.items() if v is not None})
+        self._groups.append(group)
+
+    def grid_search(self, launcher: "Launcher") -> tp.List[Job]:
+        import itertools
+        jobs = []
+        for combos in itertools.product(*self._groups):
+            merged: tp.Dict[str, tp.Any] = {}
+            for combo in combos:
+                merged.update(combo)
+            jobs.append(launcher(merged))
+        return jobs
+
+
 class Explorer:
     """Decorator recording the grid function + its metric table."""
 

@@ -68,3 +68,20 @@ def test_export_csv(tmp_path):
     assert dest.exists()
     lines = dest.read_text().splitlines()
     assert len(lines) == 4  # header + 3 seeds
+
+
+def test_simple_grid_searcher():
+    from brainmagick_tpu.grids.launcher import SimpleGridSearcher
+
+    launcher = Launcher()
+    searcher = SimpleGridSearcher()
+    searcher.define_grid_param({"optim.lr": [1e-4, 3e-4],
+                                "optim.batch_size": [32, 64]})  # zipped
+    searcher.define_grid_param({"dset.n_subjects": [4, None]})  # crossed
+    jobs = searcher.grid_search(launcher)
+    assert len(jobs) == 4
+    overrides = [j.overrides for j in jobs]
+    assert {"optim.lr": 1e-4, "optim.batch_size": 32,
+            "dset.n_subjects": 4} in overrides
+    # None drops the key
+    assert {"optim.lr": 3e-4, "optim.batch_size": 64} in overrides
