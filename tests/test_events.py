@@ -140,3 +140,21 @@ def test_dataslice_overlap():
     assert ov.stop == pytest.approx(1.5)
     sl = ov.slice_in_parent()
     assert sl == slice(0, 50)
+
+
+def test_assign_blocks_reference_golden_values():
+    """Cross-implementation golden check: the reference's own test
+    (bm/test_events.py test_assign_blocks) asserts these uids land in
+    splits [1, 0] at seed 12 — split determinism must match exactly for
+    accuracy comparisons to be meaningful."""
+    blocks = pd.DataFrame([
+        dict(kind="block", start=0.0, duration=2.0, uid="ceci est",
+             modality=None, language=None),
+        dict(kind="block", start=2.0, duration=2.0, uid="un test",
+             modality=None, language=None)])
+    out = ev.assign_blocks(blocks, [0.5], seed=12,
+                           min_n_blocks_per_split=1)
+    assert out.split.tolist() == [1, 0]
+    out2 = ev.assign_blocks(blocks, [0.5], seed=12, remove_ratio=0.2,
+                            min_n_blocks_per_split=1)
+    assert out2.split.tolist() == [1, 0]
