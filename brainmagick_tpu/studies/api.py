@@ -84,26 +84,40 @@ class RawData:
         return self.n_times / self.sample_rate
 
 
+#: device preprocessing is serialized: preload thread pools may call it
+#: concurrently, and relayed-TPU backends reject concurrent dispatch
+#: from multiple host threads
+_preprocess_lock = None
+
+
 def preprocess_raw(raw: RawData, sample_rate: int, highpass: float = 0) -> RawData:
     """Resample to `sample_rate` and optionally highpass (lowpass-subtract).
 
     Reference semantics: bm/studies/api.py:334-363 (julius ResampleFrac +
     highpass via lowpass subtraction), implemented with the XLA kernels.
     """
+    import threading
+
     import jax
+
     from ..ops import dsp
+
+    global _preprocess_lock
+    if _preprocess_lock is None:
+        _preprocess_lock = threading.Lock()
 
     old_sr = int(round(raw.sample_rate))
     if sample_rate > old_sr:
         raise ValueError(f"The sample rate should be below {old_sr}Hz, "
                          f"got {sample_rate}")
-    data = jax.numpy.asarray(raw.data, dtype=jax.numpy.float32)
-    data = dsp.resample(data, old_sr, sample_rate)
-    if highpass:
-        data = dsp.highpass_filter(data, highpass / sample_rate)
-    return RawData(data=np.asarray(jax.device_get(data), dtype=np.float32),
-                   sample_rate=float(sample_rate), ch_names=list(raw.ch_names),
-                   positions=raw.positions)
+    with _preprocess_lock:
+        data = jax.numpy.asarray(raw.data, dtype=jax.numpy.float32)
+        data = dsp.resample(data, old_sr, sample_rate)
+        if highpass:
+            data = dsp.highpass_filter(data, highpass / sample_rate)
+        out = np.asarray(jax.device_get(data), dtype=np.float32)
+    return RawData(data=out, sample_rate=float(sample_rate),
+                   ch_names=list(raw.ch_names), positions=raw.positions)
 
 
 class Recording:
