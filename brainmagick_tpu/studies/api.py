@@ -49,6 +49,21 @@ def from_selection(selection: tp.Dict[str, tp.Any]) -> tp.Iterator["Recording"]:
     return register[name].iter(**params)
 
 
+def list_selections() -> tp.List[tp.Tuple[tp.Type["Recording"],
+                                          tp.Dict[str, tp.Any]]]:
+    """All named preselections (except fake studies) as
+    (RecordingType, iter-params) pairs (bm/studies/api.py:366-383)."""
+    from ..config import MainConfig
+
+    out = []
+    for params in MainConfig().selections.values():
+        params = dict(params)
+        study = params.pop("study")
+        if not study.startswith("fake"):
+            out.append((register[study], params))
+    return out
+
+
 @dataclass
 class RawData:
     """In-memory sensor time-series for one recording."""
