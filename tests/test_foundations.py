@@ -172,3 +172,25 @@ class TestFakeStudy:
         with env.temporary(cache=bad):
             with pytest.raises(RuntimeError):
                 FakeRecording("0")
+
+
+def test_plot_events(tmp_cache):
+    """Event timeline plot renders (bm/test_events.py plot coverage)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from brainmagick_tpu.studies.fake import make_fake_events
+
+    events = make_fake_events(total_duration=20, seed=1)
+    fig, ax = events.event.plot(print_summary=False)
+    assert fig is not None and ax is not None
+    plt.close(fig)
+
+
+def test_list_selections():
+    from brainmagick_tpu.studies import api
+
+    sels = api.list_selections()
+    names = [cls.study_name() for cls, _ in sels]
+    assert "gwilliams2022" in names and "schoffelen2019" in names
+    assert "fake" not in names and "fakeeeg" not in names
