@@ -180,6 +180,9 @@ class ParallelConfig:
     #: local, 0 = global (all_gather extension)
     negatives_group_size: int = 1
     donate_state: bool = True
+    #: cast meg/features to this dtype for the host->device transfer
+    #: (e.g. 'bfloat16' halves wire bytes; compute upcasts on device)
+    transfer_dtype: tp.Optional[str] = None
 
 
 @dataclass

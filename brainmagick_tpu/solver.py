@@ -282,8 +282,8 @@ class Solver:
         instead of baking hundreds of MB of constants into the HLO.
         Returns (estimate, output, mask, keep, new_batch_stats, penalty)."""
         args = self.args
-        meg = arrays["meg"]
-        features = arrays["features"]
+        meg = arrays["meg"].astype(jnp.float32)
+        features = arrays["features"].astype(jnp.float32)
         rec = arrays["recording_index"]
 
         # normalize + clamp + reject-peak: one fused Pallas pass on TPU
@@ -520,7 +520,7 @@ class Solver:
         for idx, (batch, pad_weight) in enumerate(loader):
             if idx >= total:
                 break
-            arrays = batch.to_device()
+            arrays = batch.to_device(args.parallel.transfer_dtype)
             negatives, negative_weight = self._sample_negatives(
                 phase, arrays["features"].shape, n_neg,
                 batch_size=len(batch)) if with_negatives else (None, None)
