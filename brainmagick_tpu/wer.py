@@ -89,23 +89,47 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
         estimates = np.random.randn(*estimates.shape).astype(np.float32)
 
     # the estimate's own output replaces the last negative -> the fixed
-    # pool is negatives[:-1] and each row gets its own extra column
-    fixed = jnp.asarray(negatives[:-1])
+    # pool is negatives[:-1] and each row gets its own extra column.
+    # Candidates are streamed through HBM in blocks: 10k wav2vec-dim
+    # candidates are ~15 GB in fp32, which does not fit on one chip.
+    fixed_all = negatives[:-1]
     fixed_hashes = negative_hashes[:-1]
     loss_params = {"params": solver.state["params"]["loss"]}
     clip = solver.clip_loss
 
+    cand_block = 2048
+    n_fixed = len(fixed_all)
+    fixed_blocks = []
+    for lo in range(0, n_fixed, cand_block):
+        block = fixed_all[lo:lo + cand_block]
+        pad_c = cand_block - len(block)
+        if pad_c:
+            block = np.concatenate([block, np.zeros_like(
+                block[:1]).repeat(pad_c, 0)])
+        fixed_blocks.append(jnp.asarray(block))
+
     @jax.jit
-    def chunk_scores(est, own):
-        scores_fixed = clip.apply(loss_params, est, fixed,
-                                  method=clip.get_scores)
-        own_scores = jax.vmap(
+    def block_scores(est, cand):
+        return clip.apply(loss_params, est, cand, method=clip.get_scores)
+
+    @jax.jit
+    def own_scores_fn(est, own):
+        return jax.vmap(
             lambda e, o: clip.apply(loss_params, e[None], o[None],
                                     method=clip.get_scores)[0, 0]
         )(est, own)
-        scores = jnp.concatenate([scores_fixed, own_scores[:, None]],
-                                 axis=1)
-        return jax.nn.softmax(scores, axis=1)
+
+    def chunk_scores(est, own):
+        """[b, n_fixed + 1] softmax probabilities, scores accumulated in
+        candidate blocks (softmax on host over the full row)."""
+        parts = [np.asarray(block_scores(est, cand))
+                 for cand in fixed_blocks]
+        scores = np.concatenate(parts, axis=1)[:, :n_fixed]
+        own = np.asarray(own_scores_fn(est, own))[:, None]
+        scores = np.concatenate([scores, own], axis=1)
+        scores -= scores.max(axis=1, keepdims=True)
+        probs = np.exp(scores)
+        return probs / probs.sum(axis=1, keepdims=True)
 
     topx = test_args.wer_topx
     correct = 0.
