@@ -174,21 +174,39 @@ def build_probs(solver: Solver, preds: np.ndarray, trues: np.ndarray,
         clip = ClipLoss(dset_tmin=dset_args.tmin,
                         dset_sample_rate=dset_args.sample_rate)
     loss_params = {"params": solver.state["params"].get("loss", {})}
-    candidates = jnp.asarray(trues)
+
+    # candidates streamed through HBM in blocks (large pools don't fit
+    # on one chip at wav2vec dims); softmax over the full row on host
+    cand_block = 2048
+    n_cand = len(trues)
+    cand_blocks = []
+    for lo in range(0, n_cand, cand_block):
+        block = trues[lo:lo + cand_block]
+        pad_c = cand_block - len(block)
+        if pad_c:
+            block = np.concatenate(
+                [block, np.zeros_like(block[:1]).repeat(pad_c, 0)])
+        cand_blocks.append(jnp.asarray(block))
 
     @jax.jit
-    def block_probs(block):
-        return clip.apply(loss_params, block, candidates,
-                          method=clip.get_probabilities)
+    def block_scores(block, cand):
+        return clip.apply(loss_params, block, cand,
+                          method=clip.get_scores)
 
-    probs = np.zeros((len(preds), len(trues)), dtype=np.float32)
+    probs = np.zeros((len(preds), n_cand), dtype=np.float32)
     for lo in range(0, len(preds), batch_size):
         block = preds[lo:lo + batch_size]
         pad = batch_size - len(block)
         if pad:
             block = np.concatenate([block, block[-1:].repeat(pad, 0)])
-        out = np.asarray(block_probs(jnp.asarray(block)))
-        probs[lo:lo + batch_size] = out[:batch_size - pad]
+        block_j = jnp.asarray(block)
+        scores = np.concatenate(
+            [np.asarray(block_scores(block_j, cand))
+             for cand in cand_blocks], axis=1)[:, :n_cand]
+        scores -= scores.max(axis=1, keepdims=True)
+        p = np.exp(scores)
+        p /= p.sum(axis=1, keepdims=True)
+        probs[lo:lo + batch_size] = p[:batch_size - pad]
     return probs
 
 
