@@ -385,10 +385,31 @@ class Solver:
 
     def _loss_and_aux(self, params, batch_stats, arrays, na, pad_weight,
                       negatives, negative_weight, rng, train: bool,
-                      return_output: bool):
-        """Forward + loss on (a shard of) the batch."""
+                      return_output: bool,
+                      gather_axis: tp.Optional[str] = None):
+        """Forward + loss on (a shard of) the batch.
+
+        gather_axis: when set (parallel.negatives_group_size == 0 under a
+        mesh), every shard's outputs are all_gathered and the other
+        shards' rows join the CLIP candidate pool — global negatives, the
+        extension the reference explicitly does NOT do (its per-GPU pools
+        are intentional, README.md:139-143), offered as an option."""
         estimate, output, mask, keep, new_bs, penalty = self._forward(
             params, batch_stats, arrays, na, pad_weight, rng, train)
+        if gather_axis is not None and self.clip_loss is not None:
+            all_out = jax.lax.all_gather(output, gather_axis)   # [D, b, ...]
+            all_keep = jax.lax.all_gather(keep, gather_axis)    # [D, b]
+            idx = jax.lax.axis_index(gather_axis)
+            n_dev = all_out.shape[0]
+            other = (jnp.arange(n_dev) != idx).astype(all_keep.dtype)
+            extra = all_out.reshape(-1, *output.shape[1:])
+            extra_w = (all_keep * other[:, None]).reshape(-1)
+            if negatives is None:
+                negatives, negative_weight = extra, extra_w
+            else:
+                negatives = jnp.concatenate([extra, negatives])
+                negative_weight = jnp.concatenate([extra_w,
+                                                   negative_weight])
         loss = self._loss_value(params, estimate, output, mask, keep,
                                 negatives, negative_weight, train)
         if train:
@@ -427,12 +448,16 @@ class Solver:
 
             def sharded_loss(params, batch_stats, arrays, na, pad_weight,
                              negatives, negative_weight, rngs):
+                gather_axis = (axis if (self.clip_loss is not None and
+                               self.args.parallel.negatives_group_size == 0)
+                               else None)
+
                 def local(params, batch_stats, arrays, na, pad_weight,
                           negatives, negative_weight, rngs):
                     loss, aux = self._loss_and_aux(
                         params, batch_stats, arrays, na, pad_weight,
                         negatives, negative_weight, rngs[0], train,
-                        return_output)
+                        return_output, gather_axis=gather_axis)
                     loss = jax.lax.pmean(loss, axis)
                     aux["keep"] = jax.lax.psum(aux["keep"], axis)
                     aux["new_bs"] = jax.tree_util.tree_map(

@@ -58,3 +58,39 @@ def test_mesh_equals_single_device_eval(tmp_cache, tmp_path):
     np.testing.assert_allclose(float(m1["loss"]), float(m4["loss"]),
                                rtol=0.1)
     assert int(m1["count"]) == int(m4["count"])
+
+
+@pytest.mark.slow
+def test_global_negatives_match_single_device(tmp_cache, tmp_path):
+    """parallel.negatives_group_size=0: all_gathered candidates make the
+    sharded CLIP loss exactly equal the single-device global softmax."""
+    import jax
+    import jax.numpy as jnp
+
+    args = tiny_args(tmp_cache, tmp_path, epochs=1)
+    args.optim.batch_size = 8
+    solver = bm_train.get_solver(args)
+    batch, pad_weight = next(iter(solver.loaders["valid"]))
+    arrays = batch.to_device()
+    pw = jnp.asarray(pad_weight)
+    rng = jax.random.PRNGKey(0)
+
+    step1 = solver._build_step(False, False, False)
+    _, m1 = step1(solver.state, arrays, solver.norm_arrays, pw, None,
+                  None, rng)
+
+    solver.args.parallel.negatives_group_size = 0
+    solver.set_mesh(make_mesh(4))
+    step4 = solver._build_step(False, False, False)
+    _, m4 = step4(solver.state, arrays, solver.norm_arrays, pw, None,
+                  None, rng)
+    np.testing.assert_allclose(float(m1["loss"]), float(m4["loss"]),
+                               rtol=2e-3)
+
+    # per-shard (default) negatives give a DIFFERENT (smaller) loss
+    solver.args.parallel.negatives_group_size = 1
+    solver._jit_cache.clear()
+    step_local = solver._build_step(False, False, False)
+    _, m_local = step_local(solver.state, arrays, solver.norm_arrays, pw,
+                            None, None, rng)
+    assert float(m_local["loss"]) < float(m4["loss"])
