@@ -316,14 +316,20 @@ class _BaseWav2Vec(base.Feature):
     model_sr = 16_000
 
     def __init__(self, sample_rate: Frequency, normalized: bool = True,
-                 random: bool = False, device: str = "cpu") -> None:
+                 random: bool = False, device: str = "cpu",
+                 backend: str = "torch") -> None:
         super().__init__(sample_rate)
         args: tp.Any = (self.model_name, random) if random else self.model_name
         self.cache = Cache("Wav2VecEmbedding", args, mode="memmap")
         self.normalized = normalized
         self.device = device
         self.random = random
+        #: 'torch' runs the HF model (reference behavior); 'jax' converts
+        #: the weights once and runs the flax port on the accelerator
+        #: (numerics parity-tested in tests/test_wav2vec2.py)
+        self.backend = backend
         self._model_cache = MemoryCache("Wav2VecEmbedding", "model")
+        self._jax_cache = MemoryCache("Wav2VecEmbedding", "jax_model")
 
     def _load_model(self):
         import os
@@ -364,10 +370,35 @@ class _BaseWav2Vec(base.Feature):
             wav = (wav - wav.mean()) / np.sqrt(wav.var() + 1e-7)
         return torch.from_numpy(wav.astype(np.float32))[None]
 
+    def _load_jax_model(self):
+        """Flax port with weights converted from the torch checkpoint."""
+        from ..models.wav2vec2 import (Wav2Vec2Model, config_from_hf,
+                                       convert_torch_weights)
+        torch_model = self.model
+        cfg = config_from_hf(torch_model.config)
+        return (Wav2Vec2Model(cfg),
+                {"params": convert_torch_weights(torch_model)})
+
     def _compute_hidden_states(self, name: str, filepath: str, start: float,
                                stop: float,
                                layers: tp.Optional[tp.List[int]] = None
                                ) -> np.ndarray:
+        if self.backend == "jax":
+            input_values = np.asarray(
+                self._preprocess_wav(filepath, start, stop))
+            model, variables = self._jax_cache.get(self._load_jax_model)
+            last, extract, hidden = model.apply(
+                variables, jnp.asarray(input_values))
+            if name == "hidden_states":
+                out = np.stack([np.asarray(h) for h in hidden])
+            elif name == "extract_features":
+                out = np.asarray(extract)
+            else:
+                raise KeyError(name)
+            if layers is not None:
+                out = out[layers].mean(0)
+            return out
+
         import torch
 
         input_values = self._preprocess_wav(filepath, start, stop)
@@ -411,9 +442,10 @@ class Wav2VecTransformer(_BaseWav2Vec):
 
     def __init__(self, sample_rate: Frequency, normalized: bool = True,
                  layers: tp.Tuple[int, ...] = (14, 15, 16, 17, 18),
-                 random: bool = False, device: str = "cpu") -> None:
+                 random: bool = False, device: str = "cpu",
+                 backend: str = "torch") -> None:
         super().__init__(sample_rate=sample_rate, normalized=normalized,
-                         device=device, random=random)
+                         device=device, random=random, backend=backend)
         self.layers = tuple(layers)
 
     def get_on_overlap(self, event: events.Sound, overlap) -> np.ndarray:

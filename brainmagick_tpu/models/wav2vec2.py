@@ -1,0 +1,287 @@
+"""JAX/flax wav2vec 2.0 encoder with HF torch-weight conversion.
+
+The reference computes speech targets with the torch
+facebook/wav2vec2-large-xlsr-53 checkpoint on CPU
+(bm/features/audio.py:135-237). This is a from-scratch flax
+implementation of the same architecture (the xlsr/stable-layer-norm
+variant: layer-normed conv feature extractor, weight-normed convolutional
+relative positional embedding, pre-LN transformer) so feature precompute
+can run on TPU without torch. `convert_torch_weights` maps an HF
+`Wav2Vec2Model` state dict onto the flax parameter tree; numerics are
+parity-tested against torch in tests/test_wav2vec2.py.
+"""
+
+from __future__ import annotations
+
+import typing as tp
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+@dataclass
+class Wav2Vec2Config:
+    """Subset of HF Wav2Vec2Config (defaults = xlsr-53 large)."""
+    conv_dim: tp.Tuple[int, ...] = (512,) * 7
+    conv_kernel: tp.Tuple[int, ...] = (10, 3, 3, 3, 3, 2, 2)
+    conv_stride: tp.Tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
+    conv_bias: bool = True
+    hidden_size: int = 1024
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 16
+    intermediate_size: int = 4096
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    layer_norm_eps: float = 1e-5
+    do_stable_layer_norm: bool = True
+    feat_extract_norm: str = "layer"
+
+    @classmethod
+    def tiny(cls) -> "Wav2Vec2Config":
+        """Small config for tests."""
+        return cls(conv_dim=(16, 16), conv_kernel=(10, 3),
+                   conv_stride=(5, 2), hidden_size=32,
+                   num_hidden_layers=2, num_attention_heads=4,
+                   intermediate_size=64, num_conv_pos_embeddings=16,
+                   num_conv_pos_embedding_groups=4)
+
+
+class _ConvLayer(nn.Module):
+    cfg: Wav2Vec2Config
+    index: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: [B, T, C]
+        cfg = self.cfg
+        x = nn.Conv(cfg.conv_dim[self.index],
+                    (cfg.conv_kernel[self.index],),
+                    strides=(cfg.conv_stride[self.index],),
+                    padding="VALID", use_bias=cfg.conv_bias,
+                    name="conv")(x)
+        if cfg.feat_extract_norm == "layer":
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                             name="layer_norm")(x)
+        elif self.index == 0:  # 'group': group norm on the first layer
+            x = nn.GroupNorm(num_groups=cfg.conv_dim[0],
+                             epsilon=cfg.layer_norm_eps,
+                             name="layer_norm")(x)
+        return nn.gelu(x, approximate=False)
+
+
+class FeatureEncoder(nn.Module):
+    """Raw waveform [B, T] -> latent [B, T', conv_dim[-1]]."""
+    cfg: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, wav: jax.Array) -> jax.Array:
+        x = wav[..., None]
+        for k in range(len(self.cfg.conv_dim)):
+            x = _ConvLayer(self.cfg, k, name=f"conv_layers_{k}")(x)
+        return x
+
+
+class PositionalConvEmbedding(nn.Module):
+    """Weight-normed grouped conv relative positional embedding."""
+    cfg: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        k = cfg.num_conv_pos_embeddings
+        pad = k // 2
+        # weight normalization with dim=2 (HF convention): one gain per
+        # kernel position, norm over (in, out) slices
+        h = cfg.hidden_size
+        in_per_group = h // cfg.num_conv_pos_embedding_groups
+        v = self.param("weight_v", nn.initializers.normal(0.02),
+                       (k, in_per_group, h))
+        g = self.param("weight_g", nn.initializers.ones, (k, 1, 1))
+        norm = jnp.sqrt((v ** 2).sum(axis=(1, 2), keepdims=True) + 1e-12)
+        kernel = g * v / norm
+        bias = self.param("bias", nn.initializers.zeros, (h,))
+        y = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(1,), padding=[(pad, pad)],
+            dimension_numbers=("NTC", "TIO", "NTC"),
+            feature_group_count=cfg.num_conv_pos_embedding_groups) + bias
+        if k % 2 == 0:
+            y = y[:, :-1]
+        return nn.gelu(y, approximate=False)
+
+
+class Attention(nn.Module):
+    cfg: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        h, n_heads = cfg.hidden_size, cfg.num_attention_heads
+        head_dim = h // n_heads
+        B, T, _ = x.shape
+
+        def proj(name):
+            return nn.Dense(h, name=name)(x).reshape(
+                B, T, n_heads, head_dim)
+
+        q = proj("q_proj") * (head_dim ** -0.5)
+        k = proj("k_proj")
+        v = proj("v_proj")
+        scores = jnp.einsum("bthd,bshd->bhts", q, k,
+                            preferred_element_type=jnp.float32)
+        weights = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhts,bshd->bthd", weights, v).reshape(B, T, h)
+        return nn.Dense(h, name="out_proj")(out)
+
+
+class EncoderLayer(nn.Module):
+    """Pre-LN (stable-layer-norm) transformer layer."""
+    cfg: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        pre = cfg.do_stable_layer_norm
+        attn_ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                               name="layer_norm")
+        ffn_ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                              name="final_layer_norm")
+        if pre:
+            x = x + Attention(cfg, name="attention")(attn_ln(x))
+            y = ffn_ln(x)
+            y = nn.Dense(cfg.intermediate_size,
+                         name="intermediate_dense")(y)
+            y = nn.gelu(y, approximate=False)
+            y = nn.Dense(cfg.hidden_size, name="output_dense")(y)
+            return x + y
+        x = attn_ln(x + Attention(cfg, name="attention")(x))
+        y = nn.Dense(cfg.intermediate_size, name="intermediate_dense")(x)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(cfg.hidden_size, name="output_dense")(y)
+        return ffn_ln(x + y)
+
+
+class Wav2Vec2Model(nn.Module):
+    """Returns (last_hidden_state, extract_features, hidden_states) with
+    HF semantics: hidden_states[0] is the encoder input (projected
+    features + positional conv), intermediates are pre-layer, and the
+    last entry carries the final layer norm (stable-LN variant)."""
+    cfg: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, wav: jax.Array
+                 ) -> tp.Tuple[jax.Array, jax.Array, tp.Tuple[jax.Array, ...]]:
+        cfg = self.cfg
+        features = FeatureEncoder(cfg, name="feature_extractor")(wav)
+        extract_features = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps,
+            name="feature_projection_layer_norm")(features)
+        x = nn.Dense(cfg.hidden_size,
+                     name="feature_projection")(extract_features)
+
+        x = x + PositionalConvEmbedding(cfg, name="pos_conv_embed")(x)
+        if not cfg.do_stable_layer_norm:
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                             name="encoder_layer_norm")(x)
+        hidden_states: tp.Tuple[jax.Array, ...] = ()
+        for k in range(cfg.num_hidden_layers):
+            hidden_states += (x,)
+            x = EncoderLayer(cfg, name=f"layers_{k}")(x)
+        if cfg.do_stable_layer_norm:
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                             name="encoder_layer_norm")(x)
+        hidden_states += (x,)
+        return x, extract_features, hidden_states
+
+
+# ---------------------------------------------------------------------------
+# HF torch weight conversion
+# ---------------------------------------------------------------------------
+
+def convert_torch_weights(torch_model) -> dict:
+    """HF transformers Wav2Vec2Model -> flax params for Wav2Vec2Model."""
+    sd = {k: np.asarray(v.detach().cpu().numpy())
+          for k, v in torch_model.state_dict().items()}
+    p: tp.Dict[str, tp.Any] = {}
+
+    def dense(prefix: str) -> dict:
+        return {"kernel": sd[prefix + ".weight"].T,
+                "bias": sd[prefix + ".bias"]}
+
+    def layernorm(prefix: str) -> dict:
+        return {"scale": sd[prefix + ".weight"],
+                "bias": sd[prefix + ".bias"]}
+
+    n_conv = len([k for k in sd
+                  if k.startswith("feature_extractor.conv_layers")
+                  and k.endswith("conv.weight")])
+    fe: tp.Dict[str, tp.Any] = {}
+    for i in range(n_conv):
+        base = f"feature_extractor.conv_layers.{i}"
+        layer: tp.Dict[str, tp.Any] = {
+            "conv": {"kernel": sd[base + ".conv.weight"].transpose(2, 1, 0)}}
+        if base + ".conv.bias" in sd:
+            layer["conv"]["bias"] = sd[base + ".conv.bias"]
+        if base + ".layer_norm.weight" in sd:
+            layer["layer_norm"] = layernorm(base + ".layer_norm")
+        fe[f"conv_layers_{i}"] = layer
+    p["feature_extractor"] = fe
+
+    p["feature_projection_layer_norm"] = layernorm(
+        "feature_projection.layer_norm")
+    p["feature_projection"] = dense("feature_projection.projection")
+
+    # weight-normed positional conv: torch parametrizations store
+    # original0 (g, [out,1,1]) and original1 (v, [out, in/groups, k])
+    base = "encoder.pos_conv_embed.conv"
+    if base + ".parametrizations.weight.original0" in sd:
+        g = sd[base + ".parametrizations.weight.original0"]
+        v = sd[base + ".parametrizations.weight.original1"]
+    else:  # older torch weight_norm naming
+        g = sd[base + ".weight_g"]
+        v = sd[base + ".weight_v"]
+    p["pos_conv_embed"] = {
+        "weight_g": g.transpose(2, 1, 0),     # [out,1,1] -> [1,1,out]
+        "weight_v": v.transpose(2, 1, 0),     # [out,in,k] -> [k,in,out]
+        "bias": sd[base + ".bias"]}
+
+    p["encoder_layer_norm"] = layernorm("encoder.layer_norm")
+
+    n_layers = len({k.split(".")[2] for k in sd
+                    if k.startswith("encoder.layers.")})
+    for i in range(n_layers):
+        base = f"encoder.layers.{i}"
+        p[f"layers_{i}"] = {
+            "attention": {
+                "q_proj": dense(base + ".attention.q_proj"),
+                "k_proj": dense(base + ".attention.k_proj"),
+                "v_proj": dense(base + ".attention.v_proj"),
+                "out_proj": dense(base + ".attention.out_proj"),
+            },
+            "layer_norm": layernorm(base + ".layer_norm"),
+            "final_layer_norm": layernorm(base + ".final_layer_norm"),
+            "intermediate_dense": dense(
+                base + ".feed_forward.intermediate_dense"),
+            "output_dense": dense(base + ".feed_forward.output_dense"),
+        }
+    return p
+
+
+def config_from_hf(hf_config) -> Wav2Vec2Config:
+    return Wav2Vec2Config(
+        conv_dim=tuple(hf_config.conv_dim),
+        conv_kernel=tuple(hf_config.conv_kernel),
+        conv_stride=tuple(hf_config.conv_stride),
+        conv_bias=hf_config.conv_bias,
+        hidden_size=hf_config.hidden_size,
+        num_hidden_layers=hf_config.num_hidden_layers,
+        num_attention_heads=hf_config.num_attention_heads,
+        intermediate_size=hf_config.intermediate_size,
+        num_conv_pos_embeddings=hf_config.num_conv_pos_embeddings,
+        num_conv_pos_embedding_groups=(
+            hf_config.num_conv_pos_embedding_groups),
+        layer_norm_eps=hf_config.layer_norm_eps,
+        do_stable_layer_norm=hf_config.do_stable_layer_norm,
+        feat_extract_norm=hf_config.feat_extract_norm)

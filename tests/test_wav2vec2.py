@@ -1,0 +1,101 @@
+"""Parity test: the flax wav2vec 2.0 encoder must match the HF torch
+implementation numerically on a randomly initialized small config."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+def _models(do_stable_layer_norm=True, feat_extract_norm="layer"):
+    import jax
+
+    from brainmagick_tpu.models.wav2vec2 import (Wav2Vec2Model,
+                                                 config_from_hf,
+                                                 convert_torch_weights)
+
+    hf_config = transformers.Wav2Vec2Config(
+        conv_dim=[16, 16], conv_kernel=[10, 3], conv_stride=[5, 2],
+        conv_bias=True, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+        do_stable_layer_norm=do_stable_layer_norm,
+        feat_extract_norm=feat_extract_norm,
+        hidden_dropout=0.0, attention_dropout=0.0,
+        feat_proj_dropout=0.0, layerdrop=0.0, mask_time_prob=0.0)
+    torch.manual_seed(0)
+    torch_model = transformers.Wav2Vec2Model(hf_config).eval()
+
+    cfg = config_from_hf(hf_config)
+    flax_model = Wav2Vec2Model(cfg)
+    params = convert_torch_weights(torch_model)
+    return torch_model, flax_model, {"params": params}
+
+
+@pytest.mark.parametrize("stable,norm", [(True, "layer"),
+                                         (False, "group")])
+def test_flax_matches_torch(stable, norm):
+    import jax.numpy as jnp
+
+    torch_model, flax_model, variables = _models(stable, norm)
+    rng = np.random.RandomState(0)
+    wav = rng.randn(2, 800).astype(np.float32)
+
+    with torch.no_grad():
+        out_t = torch_model(torch.from_numpy(wav),
+                            output_hidden_states=True)
+    last_t = out_t.last_hidden_state.numpy()
+    extract_t = out_t.extract_features.numpy()
+    hidden_t = [h.numpy() for h in out_t.hidden_states]
+
+    last_j, extract_j, hidden_j = flax_model.apply(
+        variables, jnp.asarray(wav))
+
+    np.testing.assert_allclose(np.asarray(extract_j), extract_t,
+                               rtol=1e-3, atol=1e-4)
+    assert len(hidden_j) == len(hidden_t)
+    for k, (hj, ht) in enumerate(zip(hidden_j, hidden_t)):
+        np.testing.assert_allclose(np.asarray(hj), ht, rtol=1e-3,
+                                   atol=2e-4, err_msg=f"layer {k}")
+    np.testing.assert_allclose(np.asarray(last_j), last_t, rtol=1e-3,
+                               atol=2e-4)
+
+
+def test_wav2vec_feature_jax_backend(tmp_cache, tmp_path):
+    """Wav2VecTransformer(backend='jax') paints the same features as the
+    torch backend (random tiny model)."""
+    import wave
+
+    import numpy as np
+
+    from brainmagick_tpu.features.audio import Wav2VecTransformer
+    from brainmagick_tpu.utils import Frequency
+
+    # the full xlsr-random config is too slow on 1 core; share one tiny
+    # random torch model between both backends by overriding the model
+    # caches
+    torch_model, flax_model, variables = _models()
+    from brainmagick_tpu.cache import MemoryCache
+
+    feat_t = Wav2VecTransformer(Frequency(120.0), random=True,
+                                layers=(1, 2), backend="torch")
+    feat_j = Wav2VecTransformer(Frequency(120.0), random=True,
+                                layers=(1, 2), backend="jax")
+    wav_path = tmp_path / "w.wav"
+    sig = (np.sin(np.linspace(0, 700, 8000)) * 20000).astype(np.int16)
+    with wave.open(str(wav_path), "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(16000)
+        f.writeframes(sig.tobytes())
+
+    feat_t._model_cache.get = lambda fn, *a, **k: torch_model
+    feat_j._model_cache.get = lambda fn, *a, **k: torch_model
+    feat_j._jax_cache = MemoryCache("w2vtest", "jax")
+
+    out_t = feat_t._compute_hidden_states("hidden_states", str(wav_path),
+                                          0.0, 0.5, layers=[1, 2])
+    out_j = feat_j._compute_hidden_states("hidden_states", str(wav_path),
+                                          0.0, 0.5, layers=[1, 2])
+    np.testing.assert_allclose(out_j, out_t, rtol=1e-3, atol=2e-4)
