@@ -194,3 +194,18 @@ def test_list_selections():
     names = [cls.study_name() for cls, _ in sels]
     assert "gwilliams2022" in names and "schoffelen2019" in names
     assert "fake" not in names and "fakeeeg" not in names
+
+
+def test_driver_entrypoints_importable():
+    """bench.py and __graft_entry__.py must at least import cleanly —
+    the driver runs them unattended."""
+    import importlib.util
+    from pathlib import Path
+
+    root = Path(__file__).parent.parent
+    for name in ("bench", "__graft_entry__"):
+        spec = importlib.util.spec_from_file_location(
+            f"_smoke_{name}", root / f"{name}.py")
+        module = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(module)
+        assert hasattr(module, "main") or hasattr(module, "entry")
