@@ -112,7 +112,7 @@ class AutoRejectDrop:
                 continue
             # interpolate the worst offenders first
             order = np.argsort(-ptp[k, bad_idx])
-            bad_idx = bad_idx[order][:max(self.n_interpolate, len(bad_idx))]
+            bad_idx = bad_idx[order][:min(self.n_interpolate, len(bad_idx))]
             good = np.flatnonzero(~bad[k])
             if not len(good):
                 continue

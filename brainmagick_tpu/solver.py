@@ -101,6 +101,7 @@ class Solver:
         #: (set_mesh); None = single device
         self.mesh = None
         self.negative_pool = {name: None for name in ("train", "valid")}
+        self._neg_rng = np.random.RandomState(args.seed)
         self._jit_cache: tp.Dict[tp.Any, tp.Any] = {}
 
         from .logging_utils import MetricSinks
@@ -538,6 +539,12 @@ class Solver:
                                 return_output=with_negatives)
         rng = jax.random.PRNGKey(args.seed + self.epoch * 1000
                                  + (0 if training else 1))
+        # fresh permutation per batch (reference draws a new randperm each
+        # batch, bm/solver.py:359-371); seeded per (seed, epoch, phase) for
+        # reproducibility across restarts
+        self._neg_rng = np.random.RandomState(
+            (args.seed * 9176 + self.epoch * 2 + int(not training))
+            % (2 ** 31))
         # keep per-step metrics as device scalars and fetch once at epoch
         # end: a host sync costs a full dispatch round trip per step on
         # relayed TPUs, and steps chain fine asynchronously
@@ -589,8 +596,7 @@ class Solver:
         weight = np.zeros(n_extra, dtype=np.float32)
         if buf is not None and len(buf) and n_extra:
             take = min(n_extra, len(buf))
-            sel = np.random.RandomState(self.epoch).permutation(
-                len(buf))[:take]
+            sel = self._neg_rng.permutation(len(buf))[:take]
             negatives[:take] = buf[sel]
             weight[:take] = 1.
         return jnp.asarray(negatives), jnp.asarray(weight)

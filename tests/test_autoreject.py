@@ -35,6 +35,27 @@ def test_fit_transform_repairs_artifacts():
     assert fp_rate < 0.05, f"too many clean channels repaired: {fp_rate}"
 
 
+def test_n_interpolate_caps_repairs_per_epoch():
+    """Only the worst `n_interpolate` bad channels may be repaired
+    (regression for the round-1 max/min bug that interpolated all)."""
+    rng = np.random.RandomState(7)
+    n, c, t = 40, 12, 50
+    epochs = rng.randn(n, c, t).astype(np.float32)
+    # epoch 5: six bad channels with increasing severity
+    bad_channels = [1, 3, 4, 7, 8, 10]
+    for rank, ch in enumerate(bad_channels):
+        epochs[5, ch] += (30 + 10 * rank) * np.sin(np.linspace(0, 6, t))
+    positions = grid_positions(c)
+    ar = AutoRejectDrop(n_interpolate=2)
+    repaired, log = ar.fit(epochs, positions).transform(
+        epochs, return_log=True)
+    assert log[5, bad_channels].all(), "artifacts not detected"
+    touched = np.flatnonzero((repaired[5] != epochs[5]).any(axis=-1))
+    assert len(touched) == 2, f"expected 2 repairs, got {list(touched)}"
+    # and they are the two *worst* offenders (highest injected amplitude)
+    assert set(touched) == {8, 10}
+
+
 def test_dataset_autoreject_hook(tmp_cache):
     from brainmagick_tpu import dataset as dset
 

@@ -139,3 +139,23 @@ def test_negative_pool(tmp_cache, tmp_path):
     pool = solver.negative_pool["train"]
     assert pool is not None and 0 < len(pool) <= 32
     assert np.isfinite(best)
+
+
+def test_negative_sampling_fresh_per_batch():
+    """Each batch draws a fresh pool permutation (the reference draws a
+    new randperm per batch, bm/solver.py:359-371); regression for the
+    round-1 per-epoch-constant RNG."""
+    from brainmagick_tpu.solver import Solver
+
+    s = Solver.__new__(Solver)
+    s.negative_pool = {
+        "train": np.random.RandomState(0).randn(64, 4, 10).astype(
+            np.float32)}
+    s._neg_rng = np.random.RandomState(0)
+    s._output_time = lambda t: t
+    s._output_dim = lambda d: d
+    n1, w1 = s._sample_negatives("train", (8, 4, 10), 24, batch_size=8)
+    n2, w2 = s._sample_negatives("train", (8, 4, 10), 24, batch_size=8)
+    assert np.asarray(w1).all() and np.asarray(w2).all()
+    assert not np.allclose(np.asarray(n1), np.asarray(n2)), \
+        "consecutive batches drew identical negative pools"
