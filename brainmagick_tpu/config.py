@@ -175,9 +175,13 @@ class ParallelConfig:
     """Mesh/sharding knobs (no reference equivalent — the reference is
     DDP-only, SURVEY.md §2.4)."""
     data_axis: str = "data"
-    #: negatives stay within groups of this many devices to reproduce the
-    #: reference's per-GPU negative pools (README.md:139-143); 1 = fully
-    #: local, 0 = global (all_gather extension)
+    #: contrastive candidates stay within groups of this many devices so
+    #: the reference's per-GPU negative-pool dynamics (README.md:139-143)
+    #: can be reproduced on any mesh size: 1 = fully local per-shard
+    #: pools (reference per-GPU semantics), k = all_gather candidates
+    #: within contiguous groups of k devices (e.g. 4 on a v5e-8 with the
+    #: paper's global batch reproduces the 2xV100 per-GPU pool of 128),
+    #: 0 = one global pool (extension). Must divide the mesh size.
     negatives_group_size: int = 1
     donate_state: bool = True
     #: cast meg/features to this dtype for the host->device transfer

@@ -387,22 +387,33 @@ class Solver:
     def _loss_and_aux(self, params, batch_stats, arrays, na, pad_weight,
                       negatives, negative_weight, rng, train: bool,
                       return_output: bool,
-                      gather_axis: tp.Optional[str] = None):
+                      gather_axis: tp.Optional[str] = None,
+                      gather_groups: tp.Optional[tp.Sequence] = None,
+                      group_size: int = 0):
         """Forward + loss on (a shard of) the batch.
 
-        gather_axis: when set (parallel.negatives_group_size == 0 under a
-        mesh), every shard's outputs are all_gathered and the other
-        shards' rows join the CLIP candidate pool — global negatives, the
-        extension the reference explicitly does NOT do (its per-GPU pools
-        are intentional, README.md:139-143), offered as an option."""
+        gather_axis: when set (parallel.negatives_group_size != 1 under a
+        mesh), the outputs of the shards in this shard's device *group*
+        are all_gathered and the other shards' rows join the CLIP
+        candidate pool. group_size == mesh size (gather_groups None)
+        gives global negatives — an extension the reference explicitly
+        does NOT do (its per-GPU pools are intentional,
+        README.md:139-143). Intermediate group sizes reproduce the
+        reference's k-GPU dynamics on a larger mesh (e.g. groups of 4 on
+        a v5e-8 behave like the paper's 2×V100 local pools when the
+        per-group batch matches the per-GPU batch) — SURVEY.md §7."""
         estimate, output, mask, keep, new_bs, penalty = self._forward(
             params, batch_stats, arrays, na, pad_weight, rng, train)
         if gather_axis is not None and self.clip_loss is not None:
-            all_out = jax.lax.all_gather(output, gather_axis)   # [D, b, ...]
-            all_keep = jax.lax.all_gather(keep, gather_axis)    # [D, b]
+            # [k, b, ...] where k = group size (contiguous device groups)
+            all_out = jax.lax.all_gather(output, gather_axis,
+                                         axis_index_groups=gather_groups)
+            all_keep = jax.lax.all_gather(keep, gather_axis,
+                                          axis_index_groups=gather_groups)
             idx = jax.lax.axis_index(gather_axis)
-            n_dev = all_out.shape[0]
-            other = (jnp.arange(n_dev) != idx).astype(all_keep.dtype)
+            k = all_out.shape[0]
+            pos_in_group = jax.lax.rem(idx, k)
+            other = (jnp.arange(k) != pos_in_group).astype(all_keep.dtype)
             extra = all_out.reshape(-1, *output.shape[1:])
             extra_w = (all_keep * other[:, None]).reshape(-1)
             if negatives is None:
@@ -449,23 +460,33 @@ class Solver:
 
             def sharded_loss(params, batch_stats, arrays, na, pad_weight,
                              negatives, negative_weight, rngs):
+                k = self._negatives_group_size()
                 gather_axis = (axis if (self.clip_loss is not None and
-                               self.args.parallel.negatives_group_size == 0)
-                               else None)
+                                        k > 1) else None)
+                gather_groups = None
+                if gather_axis is not None and k < mesh.size:
+                    gather_groups = [
+                        list(range(g * k, (g + 1) * k))
+                        for g in range(mesh.size // k)]
 
                 def local(params, batch_stats, arrays, na, pad_weight,
                           negatives, negative_weight, rngs):
                     loss, aux = self._loss_and_aux(
                         params, batch_stats, arrays, na, pad_weight,
                         negatives, negative_weight, rngs[0], train,
-                        return_output, gather_axis=gather_axis)
+                        return_output, gather_axis=gather_axis,
+                        gather_groups=gather_groups, group_size=k)
                     loss = jax.lax.pmean(loss, axis)
                     aux["keep"] = jax.lax.psum(aux["keep"], axis)
                     aux["new_bs"] = jax.tree_util.tree_map(
                         lambda x: jax.lax.pmean(x, axis), aux["new_bs"])
                     return loss, aux
 
-                neg_spec = P(axis) if negatives is not None else P()
+                # sampled extra negatives are REPLICATED: every shard tops
+                # its candidate pool up to the full optim.negatives, like
+                # each reference GPU does (bm/solver.py:363-368) — never
+                # split over the mesh
+                neg_spec = P()
                 out_aux_spec = dict(keep=P(), new_bs=P())
                 if return_output:
                     out_aux_spec["output"] = P(axis)
@@ -555,7 +576,8 @@ class Solver:
             arrays = batch.to_device(args.parallel.transfer_dtype)
             negatives, negative_weight = self._sample_negatives(
                 phase, arrays["features"].shape, n_neg,
-                batch_size=len(batch)) if with_negatives else (None, None)
+                batch_size=self._effective_candidates(len(batch))) \
+                if with_negatives else (None, None)
             rng, sub = jax.random.split(rng)
             self.state, metrics = step(self.state, arrays,
                                        self.norm_arrays,
@@ -582,11 +604,38 @@ class Solver:
             self.best_state = self._copy_params()
         return metrics
 
+    def _negatives_group_size(self) -> int:
+        """Resolved contrastive group size: devices per negative group.
+
+        config 1 = fully local per-shard pools (reference per-GPU
+        semantics), 0 = global, k = groups of k devices. Validated
+        against the mesh."""
+        k = self.args.parallel.negatives_group_size
+        if self.mesh is None:
+            return 1
+        d = self.mesh.size
+        if k == 0:
+            return d
+        assert 1 <= k <= d and d % k == 0, (
+            f"parallel.negatives_group_size={k} must divide the mesh "
+            f"size {d}")
+        return k
+
+    def _effective_candidates(self, global_batch: int) -> int:
+        """In-batch CLIP candidates each shard sees before pool top-up:
+        its group's worth of batch rows."""
+        if self.mesh is None:
+            return global_batch
+        per_shard = max(1, global_batch // self.mesh.size)
+        return per_shard * self._negatives_group_size()
+
     def _sample_negatives(self, phase: str, feat_shape, n_negatives: int,
                           batch_size: int):
         """Top-up candidates from the negative pool to n_negatives
         (bm/solver.py:359-371); zero-weight padding when the pool is
-        still small (static shapes)."""
+        still small (static shapes). Under a mesh the caller passes the
+        per-group candidate count so each shard tops up to the full
+        n_negatives, matching per-GPU reference counts."""
         n_extra = max(0, n_negatives - batch_size)
         shape = (n_extra,) + tuple(feat_shape[1:])
         out_t = self._output_time(feat_shape[-1])

@@ -94,3 +94,91 @@ def test_global_negatives_match_single_device(tmp_cache, tmp_path):
     _, m_local = step_local(solver.state, arrays, solver.norm_arrays, pw,
                             None, None, rng)
     assert float(m_local["loss"]) < float(m4["loss"])
+
+
+@pytest.mark.slow
+def test_group_negatives_reproduce_smaller_mesh(tmp_cache, tmp_path):
+    """parallel.negatives_group_size=k: an 8-device mesh with groups of
+    4 must reproduce the 2-device local-pool loss exactly — the VERDICT
+    round-1 gap (group sizes between 1 and D silently behaved as 1)."""
+    import jax
+    import jax.numpy as jnp
+
+    args = tiny_args(tmp_cache, tmp_path, epochs=1)
+    args.optim.batch_size = 8
+    solver = bm_train.get_solver(args)
+    batch, pad_weight = next(iter(solver.loaders["valid"]))
+    arrays = batch.to_device()
+    pw = jnp.asarray(pad_weight)
+    rng = jax.random.PRNGKey(0)
+
+    # 2-device mesh, fully local pools: each shard's CLIP softmax runs
+    # over its 4 local candidates
+    solver.set_mesh(make_mesh(2))
+    solver.args.parallel.negatives_group_size = 1
+    _, m2 = solver._build_step(False, False, False)(
+        solver.state, arrays, solver.norm_arrays, pw, None, None, rng)
+
+    # 8-device mesh, groups of 4: each group's gathered pool is the same
+    # 4 candidates -> identical loss
+    solver.set_mesh(make_mesh(8))
+    solver.args.parallel.negatives_group_size = 4
+    _, m8 = solver._build_step(False, False, False)(
+        solver.state, arrays, solver.norm_arrays, pw, None, None, rng)
+    np.testing.assert_allclose(float(m2["loss"]), float(m8["loss"]),
+                               rtol=2e-3)
+
+    # group sizes that do not divide the mesh are rejected, not ignored
+    solver.args.parallel.negatives_group_size = 3
+    solver._jit_cache.clear()
+    with pytest.raises(AssertionError):
+        solver._build_step(False, False, False)(
+            solver.state, arrays, solver.norm_arrays, pw, None, None, rng)
+
+
+@pytest.mark.slow
+def test_sampled_negatives_replicated_per_shard(tmp_cache, tmp_path):
+    """Pool-sampled negatives must be replicated to every shard (each
+    reference GPU tops up to the FULL optim.negatives,
+    bm/solver.py:363-368) — not split P(axis) over the mesh. With global
+    gather + identical extras, the sharded loss must equal the
+    single-device loss on batch+extras."""
+    import jax
+    import jax.numpy as jnp
+
+    args = tiny_args(tmp_cache, tmp_path, epochs=1)
+    args.optim.batch_size = 8
+    solver = bm_train.get_solver(args)
+    batch, pad_weight = next(iter(solver.loaders["valid"]))
+    arrays = batch.to_device()
+    pw = jnp.asarray(pad_weight)
+    rng = jax.random.PRNGKey(0)
+
+    # hand-built extra negatives: 6 rows, all valid
+    out_t = solver._output_time(arrays["features"].shape[-1])
+    out_d = solver._output_dim(arrays["features"].shape[1])
+    rs = np.random.RandomState(3)
+    negs = jnp.asarray(rs.randn(6, out_d, out_t).astype(np.float32))
+    negw = jnp.ones(6, dtype=np.float32)
+
+    _, m1 = solver._build_step(False, True, True)(
+        solver.state, arrays, solver.norm_arrays, pw, negs, negw, rng)
+
+    solver.set_mesh(make_mesh(4))
+    solver.args.parallel.negatives_group_size = 0
+    _, m4 = solver._build_step(False, True, True)(
+        solver.state, arrays, solver.norm_arrays, pw, negs, negw, rng)
+    np.testing.assert_allclose(float(m1["loss"]), float(m4["loss"]),
+                               rtol=2e-3)
+    # pooled outputs come back at full global batch for the pool update
+    assert m4["output"].shape[0] == 8
+
+    # per-group candidate accounting: a 4-device mesh with groups of 2
+    # sees 2*(8/4)=4 in-batch candidates per shard -> top-up of
+    # n_neg-4 rows
+    solver.args.parallel.negatives_group_size = 2
+    assert solver._effective_candidates(8) == 4
+    solver.args.parallel.negatives_group_size = 1
+    assert solver._effective_candidates(8) == 2
+    solver.args.parallel.negatives_group_size = 0
+    assert solver._effective_candidates(8) == 8
