@@ -394,34 +394,43 @@ def split_wav_as_block(events: pd.DataFrame,
 
     sound_mask = events.kind == "sound"
     other_events = events[~sound_mask]
-    queue = [event for _, event in events[sound_mask].iterrows()]
 
-    new_events = []
-    for start, stop in blocks:
-        while queue:
-            if queue[0].start >= stop - margin:
-                break  # next block
-            event = queue.pop(0)
-            if event.start + event.duration <= start + margin:
-                pass  # negligible overlap with current block
-            elif event.start <= start - margin:
-                # a significant portion of the audio precedes the block: cut
-                rest = event.copy(deep=True)
-                event.duration = start - event.start
-                rest.offset += event.duration
-                rest.start += event.duration
-                rest.duration -= event.duration
-                queue.insert(0, rest)
-            elif event.start + event.duration > stop + margin:
-                # the audio crosses the end of the block: cut, requeue rest
-                rest = event.copy(deep=True)
-                event.duration = stop - event.start
-                rest.start += event.duration
-                rest.offset += event.duration
-                rest.duration -= event.duration
-                queue.insert(0, rest)
-            new_events.append(event)
-    out = pd.concat([pd.DataFrame(new_events + queue), other_events])
+    # Boundary candidates, ordered. A block *start* may cut a piece that
+    # begins exactly `margin` before it; a block *stop* requires a
+    # strictly larger gap (it only cuts pieces that began inside the
+    # block, i.e. before stop - margin).
+    boundaries: tp.List[tp.Tuple[float, bool]] = sorted(
+        {(float(b[0]), True) for b in blocks}
+        | {(float(b[1]), False) for b in blocks})
+
+    def cut_points(e_start: float, e_stop: float) -> tp.List[float]:
+        """Boundaries falling far enough inside [e_start, e_stop)."""
+        cuts: tp.List[float] = []
+        cursor = e_start
+        for point, is_block_start in boundaries:
+            if e_stop <= point + margin:
+                break  # nothing at/after this boundary can cut
+            inside = (cursor <= point - margin if is_block_start
+                      else cursor < point - margin)
+            if inside and point != cursor:
+                cuts.append(point)
+                cursor = point
+        return cuts
+
+    pieces = []
+    for _, event in events[sound_mask].iterrows():
+        e_start = float(event.start)
+        e_stop = e_start + float(event.duration)
+        edges = [e_start] + cut_points(e_start, e_stop) + [e_stop]
+        for lo, hi in zip(edges[:-1], edges[1:]):
+            piece = event.copy(deep=True)
+            piece.start = lo
+            piece.duration = hi - lo
+            # advance into the wav so audio content stays aligned
+            piece.offset = event.offset + (lo - e_start)
+            pieces.append(piece)
+
+    out = pd.concat([pd.DataFrame(pieces), other_events])
     return out.sort_values("start", ignore_index=True)
 
 

@@ -498,9 +498,19 @@ class Schoffelen2019Recording(api.Recording):
         if modality not in ("visual", "audio", "all"):
             raise ValueError(f"Unknown modality: {modality}")
         try:
-            utils.StudyPaths("schoffelen2019")
+            study_paths = utils.StudyPaths("schoffelen2019")
         except EnvironmentError:
             return
+        if not study_paths.download.exists():
+            # mirror the Donders collection on first use (reference
+            # _prepare, bm/studies/schoffelen2019/schoffelen2019.py:37-55)
+            from . import download as dl
+            parent, study = cls.data_url.rstrip("/").split("/")[-2:]
+            try:
+                dl.download_donders(study, study_paths.path, parent=parent)
+            except dl.DownloadError as e:
+                logger.warning("schoffelen2019 auto-download skipped: %s",
+                               e)
         for num in itertools.chain(range(1001, 1118), range(2002, 2126)):
             if num in BAD_NUMS + NO_SUBJECT:
                 continue
