@@ -16,7 +16,8 @@ Channel 2D positions come from an azimuthal projection of the ch_info
 coil locations, normalized to [0, 1]^2 — the same role mne.find_layout
 plays for the reference (bm/models/common.py:183-236).
 
-CTF .ds reading (MOUS) is still pending.
+CTF .ds reading (MOUS, schoffelen2019) lives in studies/ctf.py and is
+re-exported here as `read_ctf`.
 """
 
 from __future__ import annotations
@@ -222,7 +223,6 @@ def find_events(stim: np.ndarray, shortest_event: int = 1) -> np.ndarray:
 
 
 def read_ctf(path: Path) -> RawData:
-    raise NotImplementedError(
-        f"CTF .ds reading is not implemented; convert the recording to "
-        f"FIF offline (e.g. mne.io.read_raw_ctf(...).save(...)) and the "
-        f"pipeline reads it natively ({path}).")
+    """Native CTF .ds reader (res4 + meg4) — see studies/ctf.py."""
+    from .ctf import read_ctf as _read_ctf
+    return _read_ctf(path)

@@ -466,8 +466,23 @@ def read_raw(raw_fname: tp.Union[str, Path]
             positions=full.positions[meg_idx])
         return raw, events
     if raw_fname.endswith(".ds"):
-        from .io import read_ctf
-        read_ctf(Path(raw_fname))
+        # native CTF read (studies/ctf.py): triggers come from the UPPT
+        # stim channel; MEG picks are the 273 head sensors directly
+        # (sensor type 5), no reference-channel offset needed
+        from .io import FIFFV_MEG_CH, FIFFV_STIM_CH, find_events
+        from .ctf import read_ctf
+        full = read_ctf(Path(raw_fname))
+        kinds = np.asarray(full.ch_kinds)
+        stim_idx = np.flatnonzero(kinds == FIFFV_STIM_CH)
+        events = (find_events(full.data[stim_idx[0]])
+                  if len(stim_idx) else np.zeros((0, 3), dtype=np.int64))
+        meg_idx = np.flatnonzero(kinds == FIFFV_MEG_CH)[:273]
+        raw = api.RawData(
+            data=np.ascontiguousarray(full.data[meg_idx]),
+            sample_rate=full.sample_rate,
+            ch_names=[full.ch_names[i] for i in meg_idx],
+            positions=full.positions[meg_idx])
+        return raw, events
     raise ValueError(f"Unknown raw format: {raw_fname}")
 
 

@@ -181,6 +181,44 @@ def test_events_pipeline(mous_root):
         assert 0 < s.duration <= 5.0
 
 
+def test_events_pipeline_through_ds(mous_root):
+    """Same pipeline with the raw stored as a native CTF .ds directory
+    (the real MOUS on-disk format) instead of the npz stand-in."""
+    from brainmagick_tpu import studies
+    from brainmagick_tpu.studies import ctf
+    from brainmagick_tpu.studies.api import RawData
+
+    meg_dir = mous_root / "download" / "sub-A2002" / "meg"
+    payload = np.load(meg_dir / "testmeg-raw.npz")
+    events = payload["events"]
+    data = payload["data"]
+    n_times = data.shape[1]
+    stim = np.zeros((1, n_times), dtype=np.float32)
+    for sample, _, code in events:
+        stim[0, sample:sample + 300] = code
+    raw = RawData(
+        data=np.concatenate([data * 1e-12, stim]),
+        sample_rate=float(payload["sample_rate"]),
+        ch_names=[f"MLC{k:02d}" for k in range(len(data))] + ["UPPT001"],
+        positions=np.concatenate(
+            [payload["positions"], [[-0.1, -0.1]]]).astype(np.float32),
+        ch_kinds=[ctf.KIND_MEG] * len(data) + [ctf.KIND_STIM])
+    ctf.write_ctf(meg_dir / "sub-A2002_task-auditory_meg.ds", raw,
+                  trial_samples=int(payload["sample_rate"]))
+    (meg_dir / "testmeg-raw.npz").unlink()
+
+    rec = next(studies.register["schoffelen2019"].iter(modality="audio"))
+    assert str(rec.paths.raw).endswith(".ds")
+    got = rec.events()
+    words = got[got.kind == "word"]
+    assert list(words.word) == (SENTENCES[1].split()
+                                + SENTENCES[2].split())
+    assert words.iloc[0].start == pytest.approx(2.51, abs=0.02)
+    raw_back = rec.raw()
+    assert raw_back.n_channels == len(data)
+    assert raw_back.sample_rate == SFREQ
+
+
 def test_events_golden(mous_root):
     """Golden-file regression for the parsed events schema/content
     (bm/studies/test_api.py cached_assert_df_equal approach — the file
