@@ -79,8 +79,20 @@ class Gwilliams2022Recording(api.Recording):
                   f"_task-{self.story}_meg")
 
     def _load_raw(self) -> api.RawData:
+        """Load the raw MEG, dispatching on the on-disk format: the real
+        MEG-MASC release ships KIT .con (read natively via studies/kit),
+        .fif covers converted/test data, .ds CTF exports (the reference
+        lets read_raw_bids dispatch, gwilliams2022.py:96-106)."""
         from .io import FIFFV_MEG_CH, read_fif
-        raw = read_fif(self._bids_stem().with_suffix(".fif"))
+        stem = self._bids_stem()
+        if stem.with_suffix(".con").exists():
+            from .kit import read_kit
+            raw = read_kit(stem.with_suffix(".con"))
+        elif stem.with_suffix(".ds").exists():
+            from .ctf import read_ctf
+            raw = read_ctf(stem.with_suffix(".ds"))
+        else:
+            raw = read_fif(stem.with_suffix(".fif"))
         if raw.ch_kinds is not None:
             # keep MEG data channels only (reference pick_types,
             # gwilliams2022.py:107-108)

@@ -28,8 +28,8 @@ def _write_wav(path: Path, seconds: float) -> None:
         f.writeframes(sig.tobytes())
 
 
-@pytest.fixture()
-def gwilliams_root(tmp_path):
+@pytest.fixture(params=["fif", "con"])
+def gwilliams_root(tmp_path, request):
     root = tmp_path / "gwilliams"
     download = root / "download"
     download.mkdir(parents=True)
@@ -56,16 +56,22 @@ def gwilliams_root(tmp_path):
     pd.DataFrame(rows).to_csv(meg_dir / f"{stem}_events.tsv", sep="\t",
                               index=False)
 
-    # FIF raw: 16 MEG channels @ 1000 Hz
+    # raw: 16 MEG channels @ 1000 Hz, stored as FIF or native KIT .con
+    # (the real MEG-MASC release ships .con)
     rng = np.random.RandomState(0)
     n_chan = 16
     positions = rng.rand(n_chan, 2).astype(np.float32)
+    scale = 1.0 if request.param == "fif" else 1e-13  # Tesla for .con
     raw = RawData(data=rng.randn(n_chan, int(1000 * (t + 2))
-                                 ).astype(np.float32),
+                                 ).astype(np.float32) * scale,
                   sample_rate=1000.0,
                   ch_names=[f"MEG{k:03d}" for k in range(n_chan)],
                   positions=positions, ch_kinds=[1] * n_chan)
-    write_fif(meg_dir / f"{stem}_meg.fif", raw)
+    if request.param == "fif":
+        write_fif(meg_dir / f"{stem}_meg.fif", raw)
+    else:
+        from brainmagick_tpu.studies.kit import write_kit
+        write_kit(meg_dir / f"{stem}_meg.con", raw)
 
     cache = tmp_path / "fake_cache"
     cache.mkdir()
