@@ -159,17 +159,26 @@ class PartOfSpeech(Feature):
 
 
 class _ContextualEmbeddingBase(Feature):
-    """Transformer word embeddings via HF, aligned token->word by offsets
-    (bm/features/embeddings.py:179-202 semantics), hash fallback offline."""
+    """Transformer word embeddings: the FULL word sequence is run through
+    the model once and each word's vector is the combination of the
+    tokens whose character offsets fall inside that word — the
+    reference's token->word alignment (bm/features/embeddings.py:179-202
+    for BERT, :224-253 for XLM). Hash fallback offline."""
 
     event_kind = "word"
     model_name = ""
+    #: hidden-state layers averaged before token pooling; None = last
+    layers: tp.Optional[tp.Tuple[int, ...]] = None
+    #: "sum" (BERT keeps word-length information) or "sum_sqrt" (XLM
+    #: renormalizes multi-token words by sqrt(n_tokens))
+    token_pooling = "sum"
 
     def __init__(self, sample_rate: Frequency,
-                 contextual: bool = False) -> None:
+                 contextual: bool = True) -> None:
         super().__init__(sample_rate)
         self.contextual = contextual
         self._model_cache = MemoryCache(self.__class__.__name__, "model")
+        self._seq_cache: tp.Dict[str, tp.Tuple[np.ndarray, np.ndarray]] = {}
         self._warned = False
 
     def _load(self):
@@ -179,39 +188,110 @@ class _ContextualEmbeddingBase(Feature):
             from transformers import AutoModel, AutoTokenizer
             tok = AutoTokenizer.from_pretrained(self.model_name)
             model = AutoModel.from_pretrained(self.model_name)
+            model.eval()
             return tok, model
         except Exception:  # offline / missing checkpoint
             return None
 
-    def _embed_word(self, word: str) -> np.ndarray:
+    def _hiddens(self, sequence: str
+                 ) -> tp.Tuple[np.ndarray, np.ndarray]:
+        """[n_tokens, D] pooled hidden states + [n_tokens, 2] char
+        offsets for one sequence (cached — every word of a sentence
+        reuses the same forward pass)."""
+        if sequence in self._seq_cache:
+            return self._seq_cache[sequence]
         import torch
 
-        pair = self._model_cache.get(self._load)
-        if pair is None:
+        tok, model = self._model_cache.get(self._load)
+        inputs = tok(sequence, return_offsets_mapping=True,
+                     return_tensors="pt", add_special_tokens=True)
+        with torch.no_grad():
+            out = model(
+                input_ids=inputs["input_ids"],
+                attention_mask=inputs.get("attention_mask"),
+                output_hidden_states=True)
+        hs = torch.stack(out.hidden_states)[:, 0]  # [L+1, n_tok, D]
+        if not self.contextual:
+            pooled = hs[0]          # embedding-layer output (raw)
+        elif self.layers is not None:
+            idx = [k for k in self.layers if k < hs.shape[0]] or [-1]
+            pooled = hs[idx].mean(0)
+        else:
+            pooled = hs[-1]
+        value = (pooled.numpy().astype(np.float32),
+                 inputs["offset_mapping"][0].numpy())
+        if len(self._seq_cache) > 512:  # bound host memory
+            self._seq_cache.clear()
+        self._seq_cache[sequence] = value
+        return value
+
+    def _word_span(self, event: events.Word
+                   ) -> tp.Optional[tp.Tuple[int, int]]:
+        """Character span of the event's word inside its sequence, from
+        word_index under the space-join convention; None when the index
+        does not line up (the reference then pools the whole sequence)."""
+        sequence = event.word_sequence or ""
+        words = sequence.split(" ")
+        wid = int(event.word_index or 0)
+        if not (0 <= wid < len(words)) or words[wid] != event.word:
+            return None
+        char_end = len(" ".join(words[:wid + 1]))
+        char_start = char_end - len(event.word)
+        if sequence[char_start:char_end] != event.word:
+            return None
+        return char_start, char_end
+
+    def get(self, event: events.Word) -> np.ndarray:
+        if not event.word:
+            return np.zeros(self.dimension, dtype=np.float32)
+        if self._model_cache.get(self._load) is None:
             if not self._warned:
                 logger.warning(
                     "%s: checkpoint %s not on local disk; using "
                     "deterministic hash embeddings.", self.name,
                     self.model_name)
                 self._warned = True
-            return hash_embedding(word, self.dimension)
-        tok, model = pair
-        with torch.no_grad():
-            out = model(**tok(word, return_tensors="pt")).last_hidden_state
-        # mean of non-special tokens
-        return out[0, 1:-1].mean(0).numpy().astype(np.float32)
-
-    def get(self, event: events.Word) -> np.ndarray:
-        return self._embed_word(event.word)
+            return hash_embedding(event.word, self.dimension)
+        sequence = event.word_sequence or event.word
+        hiddens, offsets = self._hiddens(sequence)
+        span = self._word_span(event)
+        if span is None:
+            logger.info("Bad word_index for word %r in sequence %r",
+                        event.word, sequence)
+            mask = offsets[:, 1] > offsets[:, 0]  # all non-special
+        else:
+            char_start, char_end = span
+            mask = ((offsets[:, 1] > char_start)
+                    & (offsets[:, 0] < char_end)
+                    & (offsets[:, 1] > offsets[:, 0]))
+        picked = hiddens[mask]
+        if not len(picked):
+            return np.zeros(self.dimension, dtype=np.float32)
+        out = picked.sum(0)
+        if self.token_pooling == "sum_sqrt":
+            out = out / np.sqrt(len(picked))
+        return out.astype(np.float32)
 
 
 class BertEmbedding(_ContextualEmbeddingBase):
-    """Multilingual BERT word embedding, dim 768."""
+    """Multilingual BERT word embedding, dim 768 — mean of layers
+    (8, 9, 10), token vectors summed (keeps word-length information,
+    bm/features/embeddings.py:199-202)."""
     dimension = 768
     model_name = "bert-base-multilingual-cased"
+    layers = (8, 9, 10)
+    token_pooling = "sum"
 
 
 class XlmEmbedding(_ContextualEmbeddingBase):
-    """XLM-R large word embedding, dim 1024."""
+    """XLM-R large word embedding, dim 1024 — `contextual` picks the
+    final layer vs the raw embedding layer; multi-token words are
+    sum/sqrt(n)-pooled (bm/features/embeddings.py:224-253)."""
     dimension = 1024
     model_name = "xlm-roberta-large"
+    layers = None
+    token_pooling = "sum_sqrt"
+
+    def __init__(self, sample_rate: Frequency,
+                 contextual: bool = False) -> None:
+        super().__init__(sample_rate, contextual=contextual)
