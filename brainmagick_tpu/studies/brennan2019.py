@@ -3,8 +3,11 @@ audiobook).
 
 Reference parity: bm/studies/brennan2019.py — MATLAB `proc` structs give
 per-word trial metadata joined with AliceChapterOne-EEG.csv; `raw` structs
-hold the EEG. Implemented with scipy.io.loadmat (no MNE); sensor layout is
-a generic disk layout until a true easycap-M10 montage table is embedded.
+hold the EEG. Implemented with scipy.io.loadmat (no MNE); the sensor
+layout is the easycap-M10 montage the reference applies via
+`mne.channels.make_standard_montage("easycap-M10")`
+(bm/studies/brennan2019.py:242-243), embedded below from its defining
+geometry.
 """
 
 from __future__ import annotations
@@ -24,6 +27,52 @@ BAD_SUBJECTS = ["S24", "S26", "S27", "S30", "S32", "S34", "S35", "S36", "S02"]
 
 def get_paths() -> utils.StudyPaths:
     return utils.StudyPaths(Brennan2019Recording.study_name())
+
+
+# -- easycap-M10 montage -------------------------------------------------------
+# The M10 is easycap's 61-site EQUIDISTANT arrangement: one vertex
+# electrode plus concentric rings of 6/12/18/24 sites at polar angles of
+# 23/46/69/92 degrees (constant ~23deg inter-electrode arc — the
+# montage's defining property), numbered ring by ring starting at the
+# front (nose) and proceeding clockwise seen from above. Site 29 served
+# as the online reference in Brennan2019, so the data channels are named
+# "1".."28","30".."61". The dict maps site number -> (theta_deg,
+# phi_deg) with phi 90 = front, decreasing clockwise.
+_M10_RINGS = ((0.0, 1), (23.0, 6), (46.0, 12), (69.0, 18), (92.0, 24))
+
+
+def easycap_m10() -> tp.Dict[int, tp.Tuple[float, float]]:
+    table: tp.Dict[int, tp.Tuple[float, float]] = {}
+    site = 1
+    for theta, count in _M10_RINGS:
+        for k in range(count):
+            table[site] = (theta, 90.0 - k * 360.0 / count)
+            site += 1
+    return table
+
+
+def m10_positions(ch_names: tp.Sequence[str]) -> np.ndarray:
+    """Normalized 2D layout for channels named by M10 site number
+    (azimuthal-equidistant projection from the vertex, the
+    mne.find_layout role; x = right, y = front)."""
+    table = easycap_m10()
+    out = np.full((len(ch_names), 2), api.INVALID_POSITION,
+                  dtype=np.float32)
+    raw = np.zeros((len(ch_names), 2), dtype=np.float64)
+    valid = np.zeros(len(ch_names), dtype=bool)
+    for i, name in enumerate(ch_names):
+        try:
+            theta, phi = table[int(name)]
+        except (ValueError, KeyError):
+            continue
+        raw[i] = (theta * np.cos(np.deg2rad(phi)),
+                  theta * np.sin(np.deg2rad(phi)))
+        valid[i] = True
+    if valid.any():
+        lo, hi = raw[valid].min(axis=0), raw[valid].max(axis=0)
+        span = np.maximum(hi - lo, 1e-9)
+        out[valid] = ((raw[valid] - lo) / span).astype(np.float32)
+    return out
 
 
 def _read_meta(fname) -> pd.DataFrame:
@@ -74,7 +123,6 @@ def _read_eeg(fname) -> api.RawData:
     """EEG from the MATLAB raw struct (bm/studies/brennan2019.py:173-248).
     Keeps the 60 EEG channels (drops VEOG/AUD), scaled to volts."""
     from scipy.io import loadmat
-    from .fake import grid_positions
 
     mat = loadmat(str(fname), squeeze_me=True, chars_as_strings=True,
                   struct_as_record=True, simplify_cells=True)["raw"]
@@ -88,7 +136,7 @@ def _read_eeg(fname) -> api.RawData:
     data = data[:60] * 1e-6
     ch_names = ch_names[:60]
     return api.RawData(data=data, sample_rate=float(sfreq), ch_names=ch_names,
-                       positions=grid_positions(60))
+                       positions=m10_positions(ch_names))
 
 
 class Brennan2019Recording(api.Recording):

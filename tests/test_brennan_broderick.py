@@ -110,6 +110,46 @@ def test_brennan_pipeline(brennan_root):
         assert Path(s.filepath).exists()
 
 
+def test_brennan_montage_geometry(brennan_root):
+    """The layout is the easycap-M10 equidistant montage, not a generic
+    grid: vertex site 1 at the layout center, constant ring structure
+    (6/12/18/24), reference site 29 absent from the data channels."""
+    from brainmagick_tpu import studies
+    from brainmagick_tpu.studies.brennan2019 import (easycap_m10,
+                                                     m10_positions)
+
+    table = easycap_m10()
+    assert len(table) == 61
+    assert table[1][0] == 0.0                     # vertex (phi moot)
+    # ring membership: sites 2-7, 8-19, 20-37, 38-61
+    assert all(table[s][0] == 23.0 for s in range(2, 8))
+    assert all(table[s][0] == 46.0 for s in range(8, 20))
+    assert all(table[s][0] == 69.0 for s in range(20, 38))
+    assert all(table[s][0] == 92.0 for s in range(38, 62))
+    # each ring starts at the front (phi=90)
+    for first in (2, 8, 20, 38):
+        assert table[first][1] == 90.0
+
+    rec = next(iter(studies.register["brennan2019"].iter()))
+    raw = rec.raw()
+    assert "29" not in raw.ch_names               # online reference site
+    pos = raw.positions
+    assert ((0 <= pos) & (pos <= 1)).all()
+    # vertex electrode "1" sits at the center of the normalized layout
+    vertex = pos[raw.ch_names.index("1")]
+    np.testing.assert_allclose(vertex, [0.5, 0.5], atol=0.02)
+    # equidistance: nearest-neighbor spacing is tight around its median
+    d = np.linalg.norm(pos[:, None] - pos[None], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    nn = d.min(axis=1)
+    assert nn.max() / nn.min() < 2.0, "not an equidistant arrangement"
+    # left/right symmetry: sites mirrored about the front-back axis
+    x = pos[:, 0]
+    assert abs(np.median(x) - 0.5) < 0.05
+    # direct name->position consistency
+    np.testing.assert_allclose(pos, m10_positions(raw.ch_names))
+
+
 @pytest.fixture()
 def broderick_root(tmp_path):
     root = tmp_path / "broderick"
