@@ -288,7 +288,8 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
 
     if "grid" in tokens:
         # evaluate every trained XP of a grid (replaces the reference's
-        # submitit array, run_eval_probs.py:497-513; sequential here)
+        # submitit array, run_eval_probs.py:497-513); workers=N overlaps
+        # N eval subprocesses with per-XP logs
         from .grids import get_grid
         _, jobs = get_grid(tokens["grid"])
         sigs = [job.sig for job in jobs]
@@ -296,6 +297,33 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
                 if (Path(out_dir) / "xps" / s / "checkpoint.pkl").exists()]
         logger.info("Evaluating %d trained XPs of grid %s", len(sigs),
                     tokens["grid"])
+        workers = int(tokens.get("workers", 1))
+        if workers > 1:
+            import subprocess
+            from concurrent.futures import ThreadPoolExecutor
+
+            log_dir = Path(out_dir) / "eval" / "logs"
+            log_dir.mkdir(parents=True, exist_ok=True)
+
+            def _one(sig: str) -> tp.Tuple[str, int]:
+                cmd = [sys.executable, "-m", "brainmagick_tpu.eval",
+                       f"sig={sig}", f"out_dir={out_dir}",
+                       f"n_negatives={n_negatives}"]
+                if "test_study" in tokens:
+                    cmd.append(f"test_study={tokens['test_study']}")
+                with open(log_dir / f"{sig}.log", "w") as log:
+                    proc = subprocess.run(cmd, stdout=log,
+                                          stderr=subprocess.STDOUT)
+                logger.info("eval %s rc=%d", sig, proc.returncode)
+                return sig, proc.returncode
+
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                results = dict(pool.map(_one, sigs))
+            failed = [s for s, rc in results.items() if rc]
+            if failed:
+                logger.warning("%d/%d evals failed: %s", len(failed),
+                               len(results), ", ".join(failed))
+            return
     else:
         sigs = [tokens["sig"]]
 

@@ -35,8 +35,9 @@ class Job:
     overrides: tp.Dict[str, tp.Any]
     slurm: tp.Dict[str, tp.Any] = field(default_factory=dict)
 
-    def to_config(self, base: tp.Optional[MainConfig] = None) -> MainConfig:
-        args = base or MainConfig()
+    def to_tokens(self) -> tp.List[str]:
+        """CLI override tokens (the same strings `python -m
+        brainmagick_tpu.train` accepts)."""
         tokens = []
         # presets first (they set whole groups), then scalar overrides
         items = sorted(self.overrides.items(),
@@ -47,7 +48,11 @@ class Job:
                     tokens.append(f"preset={preset}")
             else:
                 tokens.append(f"{key}={val!r}")
-        return parse_overrides(tokens, args)
+        return tokens
+
+    def to_config(self, base: tp.Optional[MainConfig] = None) -> MainConfig:
+        args = base or MainConfig()
+        return parse_overrides(self.to_tokens(), args)
 
     @property
     def sig(self) -> str:

@@ -4,7 +4,14 @@ metric table (replaces `dora grid <name>`).
 Usage:
     python -m brainmagick_tpu.grids nmi.main_table            # list jobs
     python -m brainmagick_tpu.grids nmi.main_table --run      # run locally
+    python -m brainmagick_tpu.grids nmi.main_table --run --workers=4
     python -m brainmagick_tpu.grids nmi.main_table --table    # metric table
+
+With --workers=N, N jobs run concurrently as subprocesses with per-job
+logs under <out_dir>/logs/<sig>.log — the local equivalent of the
+reference's submitit/SLURM job arrays
+(/root/reference/scripts/run_eval_probs.py:497-513). Already-completed
+XPs (history.json present) are skipped; pass --force to rerun them.
 """
 
 from __future__ import annotations
@@ -98,6 +105,68 @@ def export_csv(name: str, out_dir: str = "./outputs",
     return dest_path
 
 
+def _job_command(job: Job, out_dir: str) -> tp.List[str]:
+    """Subprocess command line training one grid job."""
+    return [sys.executable, "-m", "brainmagick_tpu.train",
+            *job.to_tokens(), f"out_dir={out_dir!r}"]
+
+
+def run_jobs(jobs: tp.Sequence[Job], out_dir: str = "./outputs",
+             workers: int = 1, force: bool = False
+             ) -> tp.Dict[str, int]:
+    """Run grid jobs, `workers` at a time in subprocesses with per-job
+    logs (the reference schedules these as SLURM array jobs via
+    Dora/submitit; locally a process pool is the equivalent). Returns
+    {sig: returncode} (0 = success, -1 = skipped as already done)."""
+    import subprocess
+    from concurrent.futures import ThreadPoolExecutor
+
+    out = Path(out_dir)
+    log_dir = out / "logs"
+    log_dir.mkdir(parents=True, exist_ok=True)
+    results: tp.Dict[str, int] = {}
+    todo: tp.List[tp.Tuple[str, Job]] = []
+    for job in jobs:
+        sig = job.sig
+        if not force and (out / "xps" / sig / "history.json").exists():
+            print(f"skipping {sig} (already trained; --force to rerun)")
+            results[sig] = -1
+            continue
+        todo.append((sig, job))
+
+    if workers <= 1:
+        # in-process sequential path (no subprocess/JAX restart cost)
+        from ..train import run
+        for k, (sig, job) in enumerate(todo):
+            print(f"[{k + 1}/{len(todo)}] running {sig} {job.overrides}")
+            cfg = job.to_config()
+            cfg.out_dir = out_dir
+            run(cfg)
+            results[sig] = 0
+        return results
+
+    def _one(item: tp.Tuple[str, Job]) -> tp.Tuple[str, int]:
+        sig, job = item
+        log_path = log_dir / f"{sig}.log"
+        print(f"launching {sig} {job.overrides} -> {log_path}")
+        with open(log_path, "w") as log:
+            proc = subprocess.run(_job_command(job, out_dir),
+                                  stdout=log, stderr=subprocess.STDOUT)
+        status = "done" if proc.returncode == 0 else \
+            f"FAILED rc={proc.returncode}"
+        print(f"{status} {sig}")
+        return sig, proc.returncode
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        for sig, rc in pool.map(_one, todo):
+            results[sig] = rc
+    failed = [sig for sig, rc in results.items() if rc > 0]
+    if failed:
+        logger.warning("%d/%d jobs failed: %s", len(failed),
+                       len(results), ", ".join(failed))
+    return results
+
+
 def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     argv = list(argv if argv is not None else sys.argv[1:])
     if not argv or argv[0] in ("-h", "--help"):
@@ -106,21 +175,24 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
         return
     name = argv[0]
     flags = set(argv[1:])
+    workers = 1
+    out_dir = "./outputs"
+    for flag in flags:
+        if flag.startswith("--workers="):
+            workers = int(flag.split("=", 1)[1])
+        elif flag.startswith("--out_dir="):
+            out_dir = flag.split("=", 1)[1]
     explorer, jobs = get_grid(name)
     logger.info("Grid %s: %d jobs", name, len(jobs))
     if "--table" in flags:
-        show_table(name)
+        show_table(name, out_dir=out_dir)
         return
     if "--csv" in flags:
-        export_csv(name)
+        export_csv(name, out_dir=out_dir)
         return
     if "--run" in flags:
-        from ..train import run
-        for k, job in enumerate(jobs):
-            cfg = job.to_config()
-            print(f"[{k + 1}/{len(jobs)}] running {cfg.sig} "
-                  f"{job.overrides}")
-            run(cfg)
+        run_jobs(jobs, out_dir=out_dir, workers=workers,
+                 force="--force" in flags)
         return
     for job in jobs:
         print(job.sig, job.overrides)

@@ -85,3 +85,60 @@ def test_simple_grid_searcher():
             "dset.n_subjects": 4} in overrides
     # None drops the key
     assert {"optim.lr": 3e-4, "optim.batch_size": 64} in overrides
+
+
+def test_run_jobs_parallel_overlap(tmp_path, monkeypatch):
+    """--workers=N overlaps N jobs as subprocesses with per-job logs
+    (the reference's submitit array equivalent,
+    run_eval_probs.py:497-513)."""
+    import sys
+
+    from brainmagick_tpu.grids import runner
+    from brainmagick_tpu.grids.launcher import Job
+
+    jobs = [Job(overrides={"optim.lr": lr})
+            for lr in (1e-4, 2e-4, 3e-4, 4e-4)]
+    # long sleep >> interpreter startup so concurrency shows in the
+    # recorded spans even on a 1-core host
+    script = ("import time; t0 = time.time(); time.sleep(3.0); "
+              "print('span', t0, time.time())")
+    monkeypatch.setattr(runner, "_job_command",
+                        lambda job, out_dir: [sys.executable, "-c",
+                                              script])
+    results = runner.run_jobs(jobs, out_dir=str(tmp_path), workers=4)
+    assert all(rc == 0 for rc in results.values())
+
+    spans = []
+    for sig in results:
+        log = tmp_path / "logs" / f"{sig}.log"
+        assert log.exists(), "per-job log missing"
+        _, start, stop = log.read_text().split()[:3]
+        spans.append((float(start), float(stop)))
+    # at least one pair of jobs ran concurrently
+    spans.sort()
+    assert any(a_stop > b_start for (_, a_stop), (b_start, _)
+               in zip(spans, spans[1:])), "no overlapping job intervals"
+
+
+def test_run_jobs_skips_completed(tmp_path, monkeypatch):
+    import sys
+
+    from brainmagick_tpu.grids import runner
+    from brainmagick_tpu.grids.launcher import Job
+
+    jobs = [Job(overrides={"optim.lr": 1e-4}),
+            Job(overrides={"optim.lr": 2e-4})]
+    done_sig = jobs[0].sig
+    xp_dir = tmp_path / "xps" / done_sig
+    xp_dir.mkdir(parents=True)
+    (xp_dir / "history.json").write_text("[]")
+    monkeypatch.setattr(runner, "_job_command",
+                        lambda job, out_dir: [sys.executable, "-c",
+                                              "print('ran')"])
+    results = runner.run_jobs(jobs, out_dir=str(tmp_path), workers=2)
+    assert results[done_sig] == -1                 # skipped
+    assert results[jobs[1].sig] == 0               # ran
+    # --force reruns everything
+    results = runner.run_jobs(jobs, out_dir=str(tmp_path), workers=2,
+                              force=True)
+    assert results[done_sig] == 0
