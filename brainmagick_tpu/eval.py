@@ -225,11 +225,20 @@ def run_eval(solver: Solver, output_dir: tp.Union[str, Path],
              n_negatives: int = 20_000, probs_batch_size: int = 64,
              n_recordings: tp.Optional[int] = None,
              test_study: tp.Optional[str] = None) -> pd.DataFrame:
-    """Full offline evaluation; writes probs_segment.npy,
-    vocab_segment.npy, metadata.csv and acc.csv
-    (run_eval_probs.py:310-388)."""
+    """Full offline evaluation; writes solver_config.yaml,
+    probs_segment.npy, vocab_segment.npy, metadata.csv, acc.csv and
+    negative_stats.csv (run_eval_probs.py:310-388)."""
     output_dir = Path(output_dir)
     output_dir.mkdir(exist_ok=True, parents=True)
+
+    # full solver config snapshot (run_eval_probs.py:327-329 writes the
+    # same artifact for downstream analysis scripts)
+    import dataclasses
+
+    import yaml
+    with write_and_rename(output_dir / "solver_config.yaml", "w") as f:
+        yaml.safe_dump(dataclasses.asdict(solver.args), f,
+                       default_flow_style=False)
 
     data = load_test_data(solver, n_recordings=n_recordings,
                           test_study=test_study)
@@ -269,6 +278,8 @@ def run_eval(solver: Solver, output_dir: tp.Union[str, Path],
     }
     for key, val in stats.items():
         logger.info("%s: %d", key, val)
+    with write_and_rename(output_dir / "negative_stats.csv", "w") as f:
+        pd.Series(stats).to_csv(f)
     return df
 
 

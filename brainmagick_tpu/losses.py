@@ -57,6 +57,10 @@ class ClipLoss(nn.Module):
     tmax_train: tp.Optional[float] = None
     dset_tmin: float = -0.5
     dset_sample_rate: float = 120.
+    #: matmul input dtype for the [B, C*T] x [B', C*T] score einsum
+    #: ('bfloat16' keeps the TPU MXU at full rate with fp32 accumulation;
+    #: None = inputs' own dtype). Softmax/log-softmax stay fp32.
+    compute_dtype: tp.Optional[str] = None
 
     def trim_samples(self, estimates: jax.Array, candidates: jax.Array,
                      train: bool) -> tp.Tuple[jax.Array, jax.Array]:
@@ -98,6 +102,14 @@ class ClipLoss(nn.Module):
                                                       keepdims=True)
         inv_norms = 1 / (1e-8 + jnp.linalg.norm(
             candidates.reshape(candidates.shape[0], -1), axis=1))
+        if self.compute_dtype is not None:
+            cd = jnp.dtype(self.compute_dtype)
+            # bf16 matmul inputs, fp32 accumulation; the per-candidate
+            # norm scaling stays fp32 and applies after the contraction
+            scores = jnp.einsum("bct,oct->bo", estimates.astype(cd),
+                                candidates.astype(cd),
+                                preferred_element_type=jnp.float32)
+            return scores * inv_norms[None, :]
         return jnp.einsum("bct,oct,o->bo", estimates, candidates, inv_norms,
                           preferred_element_type=jnp.float32)
 

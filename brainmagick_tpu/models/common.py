@@ -220,11 +220,15 @@ class ChannelMerger(nn.Module):
             heads_one = self.param("heads", init, (self.chout, self.pos_dim))
             heads = jnp.broadcast_to(heads_one[None], (B,) + heads_one.shape)
 
-        scores = jnp.einsum("bcd,bod->boc", embedding, heads,
+        # score matmul in the meg compute dtype (bf16 keeps the 2*C*O*D
+        # contraction on the MXU at full rate at pos_dim 2048) with fp32
+        # accumulation; masking + softmax stay fp32
+        scores = jnp.einsum("bcd,bod->boc", embedding.astype(meg.dtype),
+                            heads.astype(meg.dtype),
                             preferred_element_type=jnp.float32)
         scores = scores + score_offset[:, None, :]
-        weights = jax.nn.softmax(scores, axis=2)  # [B, O, C]
-        out = jnp.einsum("btc,boc->bto", meg, weights,
+        weights = jax.nn.softmax(scores, axis=2)  # [B, O, C], fp32
+        out = jnp.einsum("btc,boc->bto", meg, weights.astype(meg.dtype),
                          preferred_element_type=jnp.float32)
         if train and self.usage_penalty > 0.:
             usage = weights.mean(axis=(0, 1)).sum()

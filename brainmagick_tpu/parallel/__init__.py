@@ -34,14 +34,37 @@ def make_mesh(n_devices: tp.Optional[int] = None,
     return Mesh(np.array(devices), (axis_name,))
 
 
-def shard_batch(arrays: tp.Dict[str, jax.Array], mesh: Mesh
+def shard_array(value: tp.Any, mesh: Mesh,
+                spec: tp.Optional[PartitionSpec] = None) -> jax.Array:
+    """Commit one array to the mesh, batch-sharded on the leading dim by
+    default.
+
+    Single process: a plain device_put. Multi-host pods (SURVEY.md §2.4
+    TPU-equivalent paragraph): each process runs its own input pipeline
+    and supplies only its LOCAL rows — `value` is this host's shard of
+    the global batch, assembled into the global array with
+    `jax.make_array_from_process_local_data` (global batch =
+    n_processes x local rows, exactly the reference's per-rank batch
+    split, bm/train.py:37-39). DCN never sees the batch; only gradients
+    cross hosts."""
+    if spec is None:
+        spec = PartitionSpec(mesh.axis_names[0])
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(value))
+    return jax.device_put(value, sharding)
+
+
+def shard_batch(arrays: tp.Dict[str, tp.Any], mesh: Mesh
                 ) -> tp.Dict[str, jax.Array]:
-    """Place batch arrays sharded on the mesh axis (leading dim)."""
-    axis = mesh.axis_names[0]
-    sharding = NamedSharding(mesh, PartitionSpec(axis))
-    return {k: jax.device_put(v, sharding) for k, v in arrays.items()}
+    """Place batch arrays sharded on the mesh axis (leading dim);
+    per-host local data on multi-host pods (see shard_array)."""
+    return {k: shard_array(v, mesh) for k, v in arrays.items()}
 
 
 def replicate(tree: tp.Any, mesh: Mesh) -> tp.Any:
-    sharding = NamedSharding(mesh, PartitionSpec())
-    return jax.device_put(tree, sharding)
+    """Commit a pytree fully replicated over the mesh (works from every
+    process on multi-host pods — each supplies the identical value)."""
+    return jax.tree_util.tree_map(
+        lambda v: shard_array(v, mesh, spec=PartitionSpec()), tree)

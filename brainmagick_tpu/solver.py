@@ -574,14 +574,24 @@ class Solver:
             if idx >= total:
                 break
             arrays = batch.to_device(args.parallel.transfer_dtype)
+            pad_w = jnp.asarray(pad_weight)
+            if self.mesh is not None:
+                # commit inputs to the mesh up front (per-host local
+                # data on multi-host pods — parallel.shard_array)
+                from .parallel import shard_array, shard_batch
+                arrays = shard_batch(arrays, self.mesh)
+                pad_w = shard_array(pad_w, self.mesh)
             negatives, negative_weight = self._sample_negatives(
                 phase, arrays["features"].shape, n_neg,
                 batch_size=self._effective_candidates(len(batch))) \
                 if with_negatives else (None, None)
+            if self.mesh is not None and negatives is not None:
+                from .parallel import replicate
+                negatives = replicate(negatives, self.mesh)
+                negative_weight = replicate(negative_weight, self.mesh)
             rng, sub = jax.random.split(rng)
             self.state, metrics = step(self.state, arrays,
-                                       self.norm_arrays,
-                                       jnp.asarray(pad_weight),
+                                       self.norm_arrays, pad_w,
                                        negatives, negative_weight, sub)
             losses.append(metrics["loss"])
             keeps.append(metrics["keep"])
@@ -621,12 +631,14 @@ class Solver:
             f"size {d}")
         return k
 
-    def _effective_candidates(self, global_batch: int) -> int:
+    def _effective_candidates(self, local_batch: int) -> int:
         """In-batch CLIP candidates each shard sees before pool top-up:
-        its group's worth of batch rows."""
+        its group's worth of batch rows. `local_batch` is this process's
+        batch (== the global batch on single-host)."""
         if self.mesh is None:
-            return global_batch
-        per_shard = max(1, global_batch // self.mesh.size)
+            return local_batch
+        local_devices = max(1, self.mesh.size // jax.process_count())
+        per_shard = max(1, local_batch // local_devices)
         return per_shard * self._negatives_group_size()
 
     def _sample_negatives(self, phase: str, feat_shape, n_negatives: int,

@@ -24,6 +24,17 @@ def test_run_eval(tmp_cache, tmp_path):
     assert df.acc_segment.loc[10] >= df.acc_segment.loc[1]
     assert (out_dir / "probs_segment.npy").exists()
     assert (out_dir / "acc.csv").exists()
+    # config + negative-pool metadata artifacts
+    # (run_eval_probs.py:327-329, :370-383)
+    import yaml
+    with open(out_dir / "solver_config.yaml") as f:
+        saved_cfg = yaml.safe_load(f)
+    assert saved_cfg["optim"]["loss"] == "clip"
+    assert saved_cfg["dset"]["selections"] == ["fake"]
+    stats = pd.read_csv(out_dir / "negative_stats.csv", index_col=0)
+    for key in ("n_test_samples", "n_test_vocab", "n_test_segments",
+                "n_neg_samples", "n_neg_segments"):
+        assert int(stats.loc[key].iloc[0]) >= 1, key
     probs = np.load(out_dir / "probs_segment.npy")
     # rows are probability distributions over candidate segments
     np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-3)

@@ -232,6 +232,27 @@ class TestClipLoss:
         assert np.isfinite(float(w))
 
 
+    def test_bf16_score_dtype_close_to_fp32(self):
+        """compute_dtype='bfloat16' (MXU-rate scores with fp32
+        accumulation) matches the fp32 loss within bf16 tolerance and
+        preserves retrieval."""
+        from brainmagick_tpu.losses import ClipLoss
+
+        rng = np.random.RandomState(0)
+        est = jnp.asarray(rng.randn(6, 8, 20).astype(np.float32))
+        cand = jnp.asarray(rng.randn(6, 8, 20).astype(np.float32))
+        f32 = ClipLoss(dset_tmin=-0.5, dset_sample_rate=120.)
+        b16 = ClipLoss(dset_tmin=-0.5, dset_sample_rate=120.,
+                       compute_dtype="bfloat16")
+        v = f32.init(jax.random.PRNGKey(0), est, cand,
+                     method=f32.get_scores)
+        loss32 = float(f32.apply(v, est, cand))
+        loss16 = float(b16.apply(v, est, cand))
+        np.testing.assert_allclose(loss16, loss32, rtol=2e-2)
+        probs16 = b16.apply(v, cand, cand, method=b16.get_probabilities)
+        assert (np.asarray(probs16).argmax(axis=1) == np.arange(6)).all()
+
+
 def test_feature_decoding_loss():
     from brainmagick_tpu.features import FeaturesBuilder
     from brainmagick_tpu.losses import FeatureDecodingLoss

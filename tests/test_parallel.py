@@ -182,3 +182,28 @@ def test_sampled_negatives_replicated_per_shard(tmp_cache, tmp_path):
     assert solver._effective_candidates(8) == 2
     solver.args.parallel.negatives_group_size = 0
     assert solver._effective_candidates(8) == 8
+
+
+def test_shard_array_and_replicate_specs(tmp_cache, tmp_path):
+    """Input arrays commit to the mesh with the intended shardings (the
+    per-host input pipeline entry point, SURVEY.md §2.4)."""
+    import jax
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from brainmagick_tpu.parallel import (make_mesh, replicate,
+                                          shard_array, shard_batch)
+
+    mesh = make_mesh(8)
+    x = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+    sharded = shard_array(x, mesh)
+    assert sharded.sharding.spec == P("data")
+    assert len(sharded.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(sharded), x)
+
+    batch = shard_batch({"meg": x, "subject_index": np.arange(16)}, mesh)
+    assert all(v.sharding.spec == P("data") for v in batch.values())
+
+    rep = replicate({"w": np.ones(3)}, mesh)
+    assert rep["w"].sharding.spec == P()
+    assert len(rep["w"].sharding.device_set) == 8
