@@ -294,6 +294,9 @@ class ConvSequence(nn.Module):
             dilation *= self.dilation_growth
             if self.activation_on_last or not is_last:
                 if self.batch_norm:
+                    # stats + normalize in fp32 (measured: a bf16
+                    # normalize path changes nothing on v5e — XLA
+                    # already fuses the casts — so keep full precision)
                     x = nn.BatchNorm(use_running_average=not train,
                                      axis=-1, dtype=jnp.float32)(x)
                     if self.dtype is not None:
