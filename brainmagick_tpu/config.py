@@ -57,6 +57,11 @@ class ClipConfig:
     center: bool = False
     save_best: bool = True
     sync_grad: bool = False
+    #: matmul input dtype for the CLIP score contraction ('bfloat16'
+    #: runs the [B, C*T] x [candidates, C*T] einsum at full MXU rate
+    #: with fp32 accumulation — the 10k-negative WER/eval pools are the
+    #: big win; None keeps fp32). Softmax always stays fp32.
+    compute_dtype: tp.Optional[str] = None
 
 
 @dataclass

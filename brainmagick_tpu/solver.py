@@ -79,7 +79,8 @@ class Solver:
                 tmin_train=args.clip.tmin_train,
                 tmax_train=args.clip.tmax_train,
                 dset_tmin=args.dset.tmin,
-                dset_sample_rate=args.dset.sample_rate)
+                dset_sample_rate=args.dset.sample_rate,
+                compute_dtype=args.clip.compute_dtype)
 
         # scaler (fit on rank-0 equivalent: host, disk-cached)
         self.scaler: tp.Optional[BatchScaler] = None
