@@ -207,3 +207,21 @@ def test_shard_array_and_replicate_specs(tmp_cache, tmp_path):
     rep = replicate({"w": np.ones(3)}, mesh)
     assert rep["w"].sharding.spec == P()
     assert len(rep["w"].sharding.device_set) == 8
+
+
+@pytest.mark.slow
+def test_sharded_training_with_negative_pool(tmp_cache, tmp_path):
+    """Full mesh training with optim.negatives: pool top-ups replicate
+    to every shard through the epoch loop (round-2 wiring)."""
+    args = tiny_args(tmp_cache, tmp_path, epochs=2)
+    args.optim.batch_size = 8
+    args.optim.negatives = 16
+    solver = bm_train.get_solver(args)
+    solver.set_mesh(make_mesh(4))
+    solver.args.parallel.negatives_group_size = 2
+    best = solver.train()
+    assert np.isfinite(best)
+    pool = solver.negative_pool["train"]
+    assert pool is not None and len(pool) > 0
+    # pooled outputs were gathered at the GLOBAL batch size
+    assert pool.shape[1:] == (8, 139)  # (n_mels, T - offset samples)
