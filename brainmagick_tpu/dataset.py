@@ -523,26 +523,38 @@ class ConcatDataset:
     def get_batch(self, indices: np.ndarray,
                   with_events: bool = False) -> SegmentBatch:
         """Batched fetch: group indices per sub-dataset, gather each
-        group natively, reassemble in the requested order."""
+        group natively, scatter rows straight into preallocated output
+        arrays (one copy — concat-then-reorder would pay two)."""
         indices = np.asarray(indices, dtype=np.int64)
         which = np.searchsorted(self.cumulative_sizes, indices,
                                 side="right") - 1
-        parts: tp.Dict[int, SegmentBatch] = {}
-        orders: tp.Dict[int, np.ndarray] = {}
+        parts: tp.List[tp.Tuple[np.ndarray, SegmentBatch]] = []
         for d in np.unique(which):
             sel = np.flatnonzero(which == d)
             local = indices[sel] - int(self.cumulative_sizes[d])
-            parts[int(d)] = self.datasets[int(d)].get_batch(
-                local, with_events=with_events)
-            orders[int(d)] = sel
-        out_order = np.empty(len(indices), dtype=np.int64)
-        offset = 0
-        chunks = []
-        for d, batch in parts.items():
-            out_order[orders[d]] = offset + np.arange(len(batch))
-            offset += len(batch)
-            chunks.append(batch)
-        return _concat_batches(chunks)[out_order]
+            parts.append((sel, self.datasets[int(d)].get_batch(
+                local, with_events=with_events)))
+        if len(parts) == 1:
+            return parts[0][1]
+        kw: tp.Dict[str, tp.Any] = {}
+        for field in dataclasses.fields(SegmentBatch):
+            first = getattr(parts[0][1], field.name)
+            if field.name in SegmentBatch.ARRAY_FIELDS:
+                out = np.empty((len(indices),) + first.shape[1:],
+                               dtype=first.dtype)
+                for sel, batch in parts:
+                    out[sel] = getattr(batch, field.name)
+                kw[field.name] = out
+            elif any(getattr(b, field.name) for _, b in parts):
+                items: tp.List[tp.Any] = [None] * len(indices)
+                for sel, batch in parts:
+                    for i, val in zip(sel.tolist(),
+                                      getattr(batch, field.name)):
+                        items[i] = val
+                kw[field.name] = items
+            else:
+                kw[field.name] = []
+        return SegmentBatch(**kw)
 
 
 # ---------------------------------------------------------------------------
