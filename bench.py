@@ -68,15 +68,19 @@ def main() -> None:
                     compute_dtype="bfloat16")
 
     rng = np.random.RandomState(0)
+    N_REC = 8  # distinct recordings per batch (solver's real shape)
     meg = jnp.asarray(rng.randn(B, C, T).astype(np.float32))
     features = jnp.asarray(rng.randn(B, OUT, T).astype(np.float32))
     subjects = jnp.asarray(rng.randint(0, N_SUBJECTS, B))
-    positions = jnp.asarray(rng.rand(B, C, 2).astype(np.float32))
+    rec_index = jnp.asarray(rng.randint(0, N_REC, B))
+    rec_positions = jnp.asarray(rng.rand(N_REC, C, 2).astype(np.float32))
+    positions = rec_positions[rec_index]
 
-    # positions are per-recording constants: precompute the merger's
-    # fourier embedding once (saves ~2*C*D transcendentals per step)
+    # positions are per-recording constants: the merger scores per
+    # RECORDING (R softmax rows, no [B, C, 2048] gather) exactly like
+    # the solver's train step (solver._pos_emb_table / ChannelMerger)
     from brainmagick_tpu.models.common import fourier_emb
-    pos_emb = fourier_emb(positions, 2048)
+    pos_emb = fourier_emb(rec_positions, 2048)
 
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
@@ -88,8 +92,9 @@ def main() -> None:
 
     def train_step(params, batch_stats, opt_state, meg, features,
                    subjects, positions, pos_emb, rng):
-        # pos_emb travels as an argument: closing over the [B, C, 2048]
-        # table would bake a ~570MB constant into the compiled HLO
+        # pos_emb travels as an argument: closing over a large
+        # embedding table would bake it into the compiled HLO as a
+        # constant (the remote compiler rejects oversized payloads)
         meg_in = jnp.clip(meg, -20., 20.)[..., OFFSET:]
         target = features[..., :-OFFSET]
 
@@ -97,7 +102,8 @@ def main() -> None:
             out, mutated = model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 dict(meg=meg_in), subjects, positions, train=True,
-                pos_emb=pos_emb,
+                pos_emb=pos_emb, rec_index=rec_index,
+                rec_positions=rec_positions,
                 rngs={"dropout": rng}, mutable=["batch_stats"])
             loss = clip.apply({}, out, target, train=True)
             return loss, mutated["batch_stats"]

@@ -191,23 +191,38 @@ class ChannelMerger(nn.Module):
     @nn.compact
     def __call__(self, meg: jax.Array, positions: jax.Array,
                  subjects: jax.Array, train: bool = False,
-                 pos_emb: tp.Optional[jax.Array] = None) -> jax.Array:
+                 pos_emb: tp.Optional[jax.Array] = None,
+                 rec_index: tp.Optional[jax.Array] = None,
+                 rec_positions: tp.Optional[jax.Array] = None
+                 ) -> jax.Array:
         # meg: [B, T, C]; positions: [B, C, 2]; subjects: [B]
-        # pos_emb: optional precomputed fourier_emb(positions) [B, C, D] —
-        # positions are constant per recording, so callers can compute the
-        # embedding once per recording instead of 2*C*D transcendentals
-        # per forward (see solver.norm_arrays / bench.py)
+        # pos_emb: optional precomputed fourier_emb(positions) — either
+        # [B, C, D] per sample, or [R, C, D] per RECORDING together with
+        # rec_index [B] / rec_positions [R, C, 2]. Positions are fixed
+        # per recording, so attention weights are too (heads are shared
+        # unless per_subject): the per-recording path computes R softmax
+        # rows instead of B and never materializes the [B, C, D]
+        # embedding gather — exact same math, ~B/R times less score
+        # work (see solver._pos_emb_table / bench.py)
         assert self.pos_dim % 4 == 0
         B, T, C = meg.shape
-        embedding = pos_emb if pos_emb is not None \
-            else fourier_emb(positions, self.pos_dim)  # [B, C, D]
 
-        score_offset = jnp.where(is_invalid_position(positions),
-                                 -jnp.inf, 0.0)  # [B, C]
+        per_recording = (rec_index is not None and pos_emb is not None
+                         and not self.per_subject)
+        if per_recording:
+            embedding = pos_emb                      # [R, C, D]
+            mask_positions = rec_positions           # [R, C, 2]
+        else:
+            embedding = pos_emb if pos_emb is not None \
+                else fourier_emb(positions, self.pos_dim)  # [B, C, D]
+            mask_positions = positions
+
+        score_offset = jnp.where(is_invalid_position(mask_positions),
+                                 -jnp.inf, 0.0)  # [R or B, C]
         if train and self.dropout:
             rng = self.make_rng("dropout")
             center = jax.random.uniform(rng, (2,), dtype=meg.dtype)
-            dist = jnp.linalg.norm(positions - center, axis=-1)
+            dist = jnp.linalg.norm(mask_positions - center, axis=-1)
             score_offset = jnp.where(dist <= self.dropout, -jnp.inf,
                                      score_offset)
 
@@ -218,16 +233,26 @@ class ChannelMerger(nn.Module):
             heads = heads_all[subjects]  # [B, O, D]
         else:
             heads_one = self.param("heads", init, (self.chout, self.pos_dim))
-            heads = jnp.broadcast_to(heads_one[None], (B,) + heads_one.shape)
+            heads = heads_one if per_recording else \
+                jnp.broadcast_to(heads_one[None], (B,) + heads_one.shape)
 
         # score matmul in the meg compute dtype (bf16 keeps the 2*C*O*D
         # contraction on the MXU at full rate at pos_dim 2048) with fp32
         # accumulation; masking + softmax stay fp32
-        scores = jnp.einsum("bcd,bod->boc", embedding.astype(meg.dtype),
-                            heads.astype(meg.dtype),
-                            preferred_element_type=jnp.float32)
-        scores = scores + score_offset[:, None, :]
-        weights = jax.nn.softmax(scores, axis=2)  # [B, O, C], fp32
+        if per_recording:
+            scores = jnp.einsum("rcd,od->roc",
+                                embedding.astype(meg.dtype),
+                                heads.astype(meg.dtype),
+                                preferred_element_type=jnp.float32)
+            scores = scores + score_offset[:, None, :]
+            weights = jax.nn.softmax(scores, axis=2)[rec_index]  # [B,O,C]
+        else:
+            scores = jnp.einsum("bcd,bod->boc",
+                                embedding.astype(meg.dtype),
+                                heads.astype(meg.dtype),
+                                preferred_element_type=jnp.float32)
+            scores = scores + score_offset[:, None, :]
+            weights = jax.nn.softmax(scores, axis=2)  # [B, O, C], fp32
         out = jnp.einsum("btc,boc->bto", meg, weights.astype(meg.dtype),
                          preferred_element_type=jnp.float32)
         if train and self.usage_penalty > 0.:

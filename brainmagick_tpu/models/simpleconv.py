@@ -93,10 +93,15 @@ class SimpleConv(nn.Module):
     def __call__(self, inputs: tp.Mapping[str, jax.Array],
                  subject_index: jax.Array, positions: jax.Array,
                  train: bool = False,
-                 pos_emb: tp.Optional[jax.Array] = None) -> jax.Array:
+                 pos_emb: tp.Optional[jax.Array] = None,
+                 rec_index: tp.Optional[jax.Array] = None,
+                 rec_positions: tp.Optional[jax.Array] = None
+                 ) -> jax.Array:
         """inputs: {'meg': [B, C, T], 'features': [B, F, T](encode task)};
         positions: [B, C, 2]; pos_emb: optional precomputed merger
-        positional embedding [B, C, pos_dim]; returns [B, out, T]."""
+        positional embedding, [B, C, pos_dim] per sample or
+        [R, C, pos_dim] per recording with rec_index/rec_positions
+        (see ChannelMerger); returns [B, out, T]."""
         if set(self.in_channels.keys()) != set(self.hidden.keys()):
             raise ValueError("in_channels and hidden keys must match "
                              f"({set(self.in_channels)} vs {set(self.hidden)})")
@@ -133,7 +138,8 @@ class SimpleConv(nn.Module):
                     n_subjects=self.n_subjects,
                     per_subject=self.merger_per_subject)(
                         meg, positions, subject_index, train=train,
-                        pos_emb=pos_emb)
+                        pos_emb=pos_emb, rec_index=rec_index,
+                        rec_positions=rec_positions)
                 in_channels["meg"] = self.merger_channels
             if self.initial_linear:
                 for d in range(self.initial_depth):

@@ -165,29 +165,32 @@ class Solver:
             arrays = self.scaler.export_arrays(n_rec, n_chan)
             self._norm_arrays = {k: jnp.asarray(v)
                                  for k, v in arrays.items()}
-            self._norm_arrays["pos_emb"] = self._pos_emb_table(n_rec,
-                                                               n_chan)
+            pos_emb, rec_positions = self._pos_emb_table(n_rec, n_chan)
+            self._norm_arrays["pos_emb"] = pos_emb
+            self._norm_arrays["rec_positions"] = rec_positions
         return self._norm_arrays
 
-    def _pos_emb_table(self, n_rec: int, n_chan: int
-                       ) -> tp.Optional[jnp.ndarray]:
+    def _pos_emb_table(self, n_rec: int, n_chan: int):
         """Per-recording merger positional embeddings [R, C, pos_dim]
-        (positions are fixed per recording; computing 2*C*D cos/sin per
-        forward wastes VPU time — see ChannelMerger)."""
+        plus the matching positions [R, C, 2] (positions are fixed per
+        recording; computing 2*C*D cos/sin per forward wastes VPU time,
+        and the table lets the merger score per recording instead of
+        per sample — see ChannelMerger)."""
         from .models import SimpleConv
         from .models.common import fourier_emb
         from .studies.api import INVALID_POSITION
 
         if not (isinstance(self.model, SimpleConv) and self.model.merger):
-            return None
+            return None, None
         positions = np.full((n_rec, n_chan, 2), INVALID_POSITION,
                             dtype=np.float32)
         for split in self.datasets:
             for dset in split.datasets:
                 positions[dset.recording.recording_index] = \
                     dset._get_positions()
-        return jnp.asarray(fourier_emb(jnp.asarray(positions),
-                                       self.model.merger_pos_dim))
+        emb = jnp.asarray(fourier_emb(jnp.asarray(positions),
+                                      self.model.merger_pos_dim))
+        return emb, jnp.asarray(positions)
 
     def _example_batch(self) -> SegmentBatch:
         item = self.datasets.train[0]
@@ -322,7 +325,14 @@ class Solver:
             mutable.append("losses")
         model_kwargs = {}
         if na.get("pos_emb") is not None:
-            model_kwargs["pos_emb"] = na["pos_emb"][rec]
+            if getattr(self.model, "merger_per_subject", False):
+                model_kwargs["pos_emb"] = na["pos_emb"][rec]
+            else:
+                # per-recording scores: R softmax rows instead of B and
+                # no [B, C, pos_dim] gather (exact same math)
+                model_kwargs["pos_emb"] = na["pos_emb"]
+                model_kwargs["rec_index"] = rec
+                model_kwargs["rec_positions"] = na["rec_positions"]
         out = self.model.apply(
             variables, inputs, arrays["subject_index"],
             arrays["positions"], train=train, **model_kwargs,

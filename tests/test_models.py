@@ -191,6 +191,33 @@ class TestDeepMel:
         assert out.shape == (2, 24, 48)
 
 
+def test_merger_per_recording_equals_per_sample():
+    """The per-recording score path (R softmax rows + gather) must be
+    numerically identical to per-sample scores: positions are constant
+    per recording so the gather commutes with the softmax."""
+    from brainmagick_tpu.models.common import ChannelMerger, fourier_emb
+
+    rng = np.random.RandomState(0)
+    R, B, C, T, O, D = 3, 8, 12, 20, 6, 32
+    rec_positions = jnp.asarray(rng.rand(R, C, 2).astype(np.float32))
+    rec_index = jnp.asarray(rng.randint(0, R, B))
+    positions = rec_positions[rec_index]
+    meg = jnp.asarray(rng.randn(B, T, C).astype(np.float32))
+    table = fourier_emb(rec_positions, D)
+
+    merger = ChannelMerger(O, pos_dim=D)
+    variables = merger.init(jax.random.PRNGKey(0), meg, positions,
+                            rec_index)
+    per_sample = merger.apply(variables, meg, positions, rec_index,
+                              pos_emb=table[rec_index])
+    per_recording = merger.apply(variables, meg, positions, rec_index,
+                                 pos_emb=table, rec_index=rec_index,
+                                 rec_positions=rec_positions)
+    np.testing.assert_allclose(np.asarray(per_sample),
+                               np.asarray(per_recording), rtol=1e-4,
+                               atol=1e-6)
+
+
 class TestClipLoss:
     def test_identity_retrieval(self):
         from brainmagick_tpu.losses import ClipLoss
