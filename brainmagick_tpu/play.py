@@ -170,6 +170,49 @@ class SentenceFeatures:
         return ds
 
 
+def attention_map(solver: Solver
+                  ) -> tp.Tuple[np.ndarray, np.ndarray]:
+    """Merger spatial-attention weights for every recording.
+
+    Returns (weights [R, O, C], positions [R, C, 2]): each virtual
+    output channel's softmax attention over the physical sensors, for
+    plotting over the 2D layout — the reference's Table-1 notebook
+    computes the same map by hand
+    (notebook_templates/'Table 1 of NMI paper'.ipynb get_attention_map).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    na = solver.norm_arrays
+    if na.get("pos_emb") is None:
+        raise ValueError("attention_map requires a SimpleConv with "
+                         "merger=True")
+
+    def find_heads(tree: tp.Any) -> tp.Optional[np.ndarray]:
+        if isinstance(tree, tp.Mapping):
+            if "heads" in tree and not isinstance(tree["heads"],
+                                                  tp.Mapping):
+                return np.asarray(jax.device_get(tree["heads"]))
+            for val in tree.values():
+                found = find_heads(val)
+                if found is not None:
+                    return found
+        return None
+
+    heads = find_heads(jax.device_get(solver.state["params"]["model"]))
+    assert heads is not None, "no merger heads parameter found"
+    if heads.ndim == 3:  # per-subject heads: average over subjects
+        heads = heads.mean(axis=0)
+    table = np.asarray(jax.device_get(na["pos_emb"]))        # [R, C, D]
+    positions = np.asarray(jax.device_get(na["rec_positions"]))
+    scores = np.einsum("rcd,od->roc", table, heads)
+    from .studies.api import INVALID_POSITION
+    invalid = (positions <= INVALID_POSITION + 1e-6).all(axis=-1)
+    scores = np.where(invalid[:, None, :], -np.inf, scores)
+    weights = np.asarray(jax.nn.softmax(jnp.asarray(scores), axis=2))
+    return weights, positions
+
+
 def predict(solver: Solver, features: np.ndarray,
             subject_index: tp.Optional[int] = None,
             meg_init: bool = False) -> np.ndarray:
