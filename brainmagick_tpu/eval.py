@@ -310,30 +310,19 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
                     tokens["grid"])
         workers = int(tokens.get("workers", 1))
         if workers > 1:
-            import subprocess
-            from concurrent.futures import ThreadPoolExecutor
+            from .grids.runner import run_commands_with_logs
 
-            log_dir = Path(out_dir) / "eval" / "logs"
-            log_dir.mkdir(parents=True, exist_ok=True)
-
-            def _one(sig: str) -> tp.Tuple[str, int]:
+            def _cmd(sig: str) -> tp.List[str]:
                 cmd = [sys.executable, "-m", "brainmagick_tpu.eval",
                        f"sig={sig}", f"out_dir={out_dir}",
                        f"n_negatives={n_negatives}"]
                 if "test_study" in tokens:
                     cmd.append(f"test_study={tokens['test_study']}")
-                with open(log_dir / f"{sig}.log", "w") as log:
-                    proc = subprocess.run(cmd, stdout=log,
-                                          stderr=subprocess.STDOUT)
-                logger.info("eval %s rc=%d", sig, proc.returncode)
-                return sig, proc.returncode
+                return cmd
 
-            with ThreadPoolExecutor(max_workers=workers) as pool:
-                results = dict(pool.map(_one, sigs))
-            failed = [s for s, rc in results.items() if rc]
-            if failed:
-                logger.warning("%d/%d evals failed: %s", len(failed),
-                               len(results), ", ".join(failed))
+            run_commands_with_logs([(sig, _cmd(sig)) for sig in sigs],
+                                   Path(out_dir) / "eval" / "logs",
+                                   workers)
             return
     else:
         sigs = [tokens["sig"]]

@@ -111,26 +111,56 @@ def _job_command(job: Job, out_dir: str) -> tp.List[str]:
             *job.to_tokens(), f"out_dir={out_dir!r}"]
 
 
-def run_jobs(jobs: tp.Sequence[Job], out_dir: str = "./outputs",
-             workers: int = 1, force: bool = False
-             ) -> tp.Dict[str, int]:
-    """Run grid jobs, `workers` at a time in subprocesses with per-job
-    logs (the reference schedules these as SLURM array jobs via
-    Dora/submitit; locally a process pool is the equivalent). Returns
-    {sig: returncode} (0 = success, -1 = skipped as already done)."""
+def run_commands_with_logs(commands: tp.Sequence[tp.Tuple[str, tp.List[str]]],
+                           log_dir: Path, workers: int
+                           ) -> tp.Dict[str, int]:
+    """Run (name, argv) subprocesses `workers` at a time, logging each
+    to <log_dir>/<name>.log; returns {name: returncode}. Shared by the
+    grid runner and the eval fan-out (the local equivalent of the
+    reference's submitit/SLURM job arrays). Negative returncodes
+    (killed by signal) count as failures."""
     import subprocess
     from concurrent.futures import ThreadPoolExecutor
 
-    out = Path(out_dir)
-    log_dir = out / "logs"
+    log_dir = Path(log_dir)
     log_dir.mkdir(parents=True, exist_ok=True)
-    results: tp.Dict[str, int] = {}
+
+    def _one(item: tp.Tuple[str, tp.List[str]]) -> tp.Tuple[str, int]:
+        name, argv = item
+        log_path = log_dir / f"{name}.log"
+        print(f"launching {name} -> {log_path}")
+        with open(log_path, "w") as log:
+            proc = subprocess.run(argv, stdout=log,
+                                  stderr=subprocess.STDOUT)
+        status = "done" if proc.returncode == 0 else \
+            f"FAILED rc={proc.returncode}"
+        print(f"{status} {name}")
+        return name, proc.returncode
+
+    with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
+        results = dict(pool.map(_one, commands))
+    failed = [name for name, rc in results.items() if rc != 0]
+    if failed:
+        logger.warning("%d/%d jobs failed: %s", len(failed),
+                       len(results), ", ".join(failed))
+    return results
+
+
+def run_jobs(jobs: tp.Sequence[Job], out_dir: str = "./outputs",
+             workers: int = 1, force: bool = False
+             ) -> tp.Dict[str, tp.Optional[int]]:
+    """Run grid jobs, `workers` at a time in subprocesses with per-job
+    logs. Returns {sig: returncode} — 0 success, nonzero (incl.
+    negative = killed by signal) failure, None skipped as already
+    trained."""
+    out = Path(out_dir)
+    results: tp.Dict[str, tp.Optional[int]] = {}
     todo: tp.List[tp.Tuple[str, Job]] = []
     for job in jobs:
         sig = job.sig
         if not force and (out / "xps" / sig / "history.json").exists():
             print(f"skipping {sig} (already trained; --force to rerun)")
-            results[sig] = -1
+            results[sig] = None
             continue
         todo.append((sig, job))
 
@@ -145,25 +175,9 @@ def run_jobs(jobs: tp.Sequence[Job], out_dir: str = "./outputs",
             results[sig] = 0
         return results
 
-    def _one(item: tp.Tuple[str, Job]) -> tp.Tuple[str, int]:
-        sig, job = item
-        log_path = log_dir / f"{sig}.log"
-        print(f"launching {sig} {job.overrides} -> {log_path}")
-        with open(log_path, "w") as log:
-            proc = subprocess.run(_job_command(job, out_dir),
-                                  stdout=log, stderr=subprocess.STDOUT)
-        status = "done" if proc.returncode == 0 else \
-            f"FAILED rc={proc.returncode}"
-        print(f"{status} {sig}")
-        return sig, proc.returncode
-
-    with ThreadPoolExecutor(max_workers=workers) as pool:
-        for sig, rc in pool.map(_one, todo):
-            results[sig] = rc
-    failed = [sig for sig, rc in results.items() if rc > 0]
-    if failed:
-        logger.warning("%d/%d jobs failed: %s", len(failed),
-                       len(results), ", ".join(failed))
+    commands = [(sig, _job_command(job, out_dir)) for sig, job in todo]
+    results.update(run_commands_with_logs(commands, out / "logs",
+                                          workers))
     return results
 
 

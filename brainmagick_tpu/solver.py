@@ -43,6 +43,18 @@ from .utils import write_and_rename
 logger = logging.getLogger(__name__)
 
 
+def _addressable_rows(arr) -> np.ndarray:
+    """Host copy of a device array's locally-addressable batch rows.
+
+    Single host: the whole array. Multi-host pods: a batch-sharded
+    global jax.Array spans other hosts' devices and np.asarray would
+    raise; concatenating this process's shards yields its local rows."""
+    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+        shards = sorted(arr.addressable_shards, key=lambda s: s.index)
+        return np.concatenate([np.asarray(s.data) for s in shards])
+    return np.asarray(arr)
+
+
 class Solver:
 
     def __init__(self, args: MainConfig, datasets, model,
@@ -608,9 +620,12 @@ class Solver:
             keeps.append(metrics["keep"])
             counts.append(metrics["count"])
             if with_negatives:
-                # the pool update needs the outputs on host (sync)
-                self._update_negative_pool(phase,
-                                           np.asarray(metrics["output"]))
+                # the pool update needs the outputs on host (sync); on
+                # multi-host pods only this process's rows are
+                # addressable — and per-process pools are exactly the
+                # reference's per-rank semantics (bm/solver.py:368-371)
+                self._update_negative_pool(
+                    phase, _addressable_rows(metrics["output"]))
             if idx + 1 == total:
                 break
         losses = [float(x) for x in losses]

@@ -59,6 +59,7 @@ from pathlib import Path
 import numpy as np
 
 from .api import INVALID_POSITION, RawData
+from .io import FIFFV_EEG_CH, FIFFV_MEG_CH, FIFFV_STIM_CH
 
 RES4_MAGIC = b"MEG41RS\x00"
 MEG4_MAGIC = b"MEG41CP\x00"
@@ -86,11 +87,11 @@ SENSOR_TYPE_EEG = 9
 SENSOR_TYPE_STIM = 11
 SENSOR_TYPE_ADC = 18
 
-# FIFF-convention channel kinds used across this package (studies/io.py)
+# channel kinds follow the package-wide FIFF convention (studies/io.py)
 KIND_OTHER = 0
-KIND_MEG = 1
-KIND_EEG = 2
-KIND_STIM = 3
+KIND_MEG = FIFFV_MEG_CH
+KIND_EEG = FIFFV_EEG_CH
+KIND_STIM = FIFFV_STIM_CH
 
 _COIL_DTYPE = np.dtype([
     ("pos", ">f8", 3), ("_pad0", ">f8"),
@@ -150,7 +151,9 @@ def read_res4(path: tp.Union[str, Path]) -> Res4:
     no_trials = i2(OFF_NO_TRIALS)
     pre_trig_pts = i4(OFF_PRE_TRIG_PTS)
     run_name = _cstr(buf[OFF_FILE_SETUP:OFF_FILE_SETUP + 32])
-    subject_id = _cstr(buf[OFF_FILE_SETUP + 384:OFF_FILE_SETUP + 416])
+    # file setup: run_name 32 + run_title 256 + instruments 32 +
+    # collect_descriptor 32 = 352 -> subject_id, then operator at +384
+    subject_id = _cstr(buf[OFF_FILE_SETUP + 352:OFF_FILE_SETUP + 384])
     if not (0 < no_channels < 10000 and 0 < no_samples and
             0 < sample_rate < 1e6):
         raise ValueError(

@@ -47,6 +47,7 @@ from pathlib import Path
 import numpy as np
 
 from .api import INVALID_POSITION, RawData
+from .io import FIFFV_EEG_CH, FIFFV_MEG_CH, FIFFV_STIM_CH
 
 # -- pointer slots ------------------------------------------------------------
 SLOT_BASIC = 16
@@ -82,11 +83,11 @@ AMP_GAINS = {0: 1.0, 1: 2.0, 2: 5.0, 3: 10.0, 4: 20.0, 5: 50.0,
 
 CHAN_RECORD_SIZE = 80
 
-# FIFF-convention kinds used across this package (studies/io.py)
+# channel kinds follow the package-wide FIFF convention (studies/io.py)
 KIND_OTHER = 0
-KIND_MEG = 1
-KIND_EEG = 2
-KIND_STIM = 3
+KIND_MEG = FIFFV_MEG_CH
+KIND_EEG = FIFFV_EEG_CH
+KIND_STIM = FIFFV_STIM_CH
 
 
 class ConInfo(tp.NamedTuple):

@@ -65,8 +65,8 @@ def variant_name(config: tp.Mapping[str, tp.Any]) -> str:
     main_feats = [f for f in feats if f != "WordHash"]
     if main_feats and main_feats != ["Wav2VecTransformer"]:
         flags.append("+".join(main_feats))
-    if config.get("feature_model"):
-        flags.append(str(config["feature_model"]))
+    if config.get("feature_model_name"):
+        flags.append(str(config["feature_model_name"]))
     return "base" if not flags else ",".join(flags)
 
 

@@ -136,7 +136,7 @@ def test_run_jobs_skips_completed(tmp_path, monkeypatch):
                         lambda job, out_dir: [sys.executable, "-c",
                                               "print('ran')"])
     results = runner.run_jobs(jobs, out_dir=str(tmp_path), workers=2)
-    assert results[done_sig] == -1                 # skipped
+    assert results[done_sig] is None               # skipped
     assert results[jobs[1].sig] == 0               # ran
     # --force reruns everything
     results = runner.run_jobs(jobs, out_dir=str(tmp_path), workers=2,

@@ -61,7 +61,7 @@ def _config(variant_base: bool, seed: int, study: str = "fake") -> dict:
                 optim={"loss": "clip"},
                 dset={"selections": [{"study": study}],
                       "features": ["Wav2VecTransformer", "WordHash"]},
-                feature_model=None)
+                feature_model_name=None)
 
 
 @pytest.fixture()
@@ -94,6 +94,9 @@ def test_variant_and_dataset_names():
     cfg["dset"]["features"] = ["MelSpectrum", "WordHash"]
     assert "mse" in pt.variant_name(cfg)
     assert "MelSpectrum" in pt.variant_name(cfg)
+    cfg = _config(True, 1)
+    cfg["feature_model_name"] = "deep_mel"
+    assert "deep_mel" in pt.variant_name(cfg)
 
 
 def test_build_table_aggregates_across_seeds(fake_grid_evals):
