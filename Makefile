@@ -17,3 +17,20 @@ dryrun:
 	XLA_FLAGS=--xla_force_host_platform_device_count=8 python __graft_entry__.py dryrun 8
 
 .PHONY: default tests fast lint bench dryrun
+
+verify:
+	rm -rf /tmp/vfy && mkdir -p /tmp/vfy/fake_cache
+	python -c "import jax; jax.config.update('jax_platforms','cpu'); \
+import runpy, sys; \
+sys.argv = ['train', 'dset.selections=[\"fake\"]', 'dset.n_recordings=2', \
+'dset.features=[\"MelSpectrum\"]', \
+'dset.features_params={\"MelSpectrum\": {\"n_mels\": 8}}', \
+'dset.condition=1.0', 'dset.tmin=-0.2', 'dset.tmax=1.0', \
+'dset.test_ratio=0.3', 'dset.valid_ratio=0.2', \
+'dset.min_n_blocks_per_split=1', 'optim.loss=clip', 'optim.epochs=2', \
+'optim.batch_size=8', 'test.wer_negatives=50', 'test.wer_topx=3', \
+'preset=tiny', 'cache=/tmp/vfy/fake_cache', \
+'out_dir=/tmp/vfy/outputs', 'num_workers=2']; \
+runpy.run_module('brainmagick_tpu.train', run_name='__main__')"
+
+.PHONY: verify

@@ -75,3 +75,32 @@ def plot_events(events: pd.DataFrame, window_s: float = 30.0,
     labels = [k for k in KIND_STYLE if k in set(events.kind)]
     ax.legend(handles, labels, loc="upper right", fontsize=7)
     return fig, ax
+
+
+def plot_attention_map(weights: np.ndarray, positions: np.ndarray,
+                       recording: int = 0, n_outputs: int = 9,
+                       figsize: tuple = (9, 9)):
+    """Scatter the merger's spatial-attention weights over the 2D sensor
+    layout, one panel per virtual output channel (the reference's
+    Table-1 notebook visualization; inputs from play.attention_map)."""
+    import matplotlib.pyplot as plt
+
+    w = weights[recording]           # [O, C]
+    pos = positions[recording]       # [C, 2]
+    valid = (pos > -0.05).all(axis=-1)
+    n = min(n_outputs, w.shape[0])
+    side = int(np.ceil(np.sqrt(n)))
+    fig, axes = plt.subplots(side, side, figsize=figsize)
+    axes = np.atleast_1d(axes).ravel()
+    for k in range(n):
+        ax = axes[k]
+        sc = ax.scatter(pos[valid, 0], pos[valid, 1], c=w[k, valid],
+                        cmap="viridis", s=24)
+        ax.set_title(f"output {k}", fontsize=8)
+        ax.set_xticks([])
+        ax.set_yticks([])
+        fig.colorbar(sc, ax=ax, fraction=0.046)
+    for ax in axes[n:]:
+        ax.axis("off")
+    fig.tight_layout()
+    return fig
