@@ -63,7 +63,8 @@ def main() -> None:
         subject_layers=True, subject_dim=0, complex_out=True, glu=2,
         glu_context=1, merger=True, merger_channels=270,
         merger_pos_dim=2048, initial_linear=270, gelu=True,
-        batch_norm=True, n_subjects=N_SUBJECTS, dtype="bfloat16")
+        batch_norm=True, n_subjects=N_SUBJECTS, dtype="bfloat16",
+        output_dtype="bfloat16")
     clip = ClipLoss(dset_tmin=-0.5, dset_sample_rate=120.,
                     compute_dtype="bfloat16")
 

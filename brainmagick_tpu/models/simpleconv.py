@@ -88,6 +88,9 @@ class SimpleConv(nn.Module):
     #: computation dtype ('bfloat16' keeps TPU MXUs at full rate; params,
     #: softmax and batch-norm statistics stay float32)
     dtype: tp.Any = None
+    #: dtype of the returned estimate (None = float32); set 'bfloat16'
+    #: when the loss computes its score matmul in bf16 anyway
+    output_dtype: tp.Any = None
 
     @nn.compact
     def __call__(self, inputs: tp.Mapping[str, jax.Array],
@@ -231,7 +234,13 @@ class SimpleConv(nn.Module):
                                  padding=[(pad, pad)], dtype=dtype)(x)
 
         assert x.shape[1] >= length, (x.shape, length)
-        return jnp.swapaxes(x[:, :length], 1, 2).astype(jnp.float32)
+        # fp32 output by default; output_dtype='bfloat16' skips the
+        # upcast when the consumer (e.g. a bf16 CLIP score matmul)
+        # would immediately cast back — saves two HBM passes over the
+        # [B, out, T] tensor
+        out_dtype = jnp.dtype(self.output_dtype) \
+            if self.output_dtype is not None else jnp.float32
+        return jnp.swapaxes(x[:, :length], 1, 2).astype(out_dtype)
 
     def _stft(self, meg: jax.Array) -> jax.Array:
         """Spectrogram branch: [B, T, C] -> [B, T', C * freqs (*2)]."""
