@@ -11,7 +11,8 @@ With --workers=N, N jobs run concurrently as subprocesses with per-job
 logs under <out_dir>/logs/<sig>.log — the local equivalent of the
 reference's submitit/SLURM job arrays
 (/root/reference/scripts/run_eval_probs.py:497-513). Already-completed
-XPs (history.json present) are skipped; pass --force to rerun them.
+XPs (done.json present) are skipped; interrupted runs resume from
+their checkpoint; pass --force to rerun completed ones.
 """
 
 from __future__ import annotations
@@ -158,7 +159,11 @@ def run_jobs(jobs: tp.Sequence[Job], out_dir: str = "./outputs",
     todo: tp.List[tp.Tuple[str, Job]] = []
     for job in jobs:
         sig = job.sig
-        if not force and (out / "xps" / sig / "history.json").exists():
+        # done.json is written only when train() COMPLETES (incl. early
+        # stop); history.json exists after every epoch, so testing it
+        # would skip interrupted runs instead of resuming them from
+        # their checkpoint
+        if not force and (out / "xps" / sig / "done.json").exists():
             print(f"skipping {sig} (already trained; --force to rerun)")
             results[sig] = None
             continue

@@ -100,8 +100,12 @@ class ClipLoss(nn.Module):
             estimates = estimates - estimates.mean(axis=(1, 2), keepdims=True)
             candidates = candidates - candidates.mean(axis=(1, 2),
                                                       keepdims=True)
+        # norm accumulation always in fp32: a bf16 sum over ~C*T squares
+        # carries ~1% quantization error, enough to flip near-tied
+        # candidate rankings
         inv_norms = 1 / (1e-8 + jnp.linalg.norm(
-            candidates.reshape(candidates.shape[0], -1), axis=1))
+            candidates.reshape(candidates.shape[0], -1)
+            .astype(jnp.float32), axis=1))
         if self.compute_dtype is not None:
             cd = jnp.dtype(self.compute_dtype)
             # bf16 matmul inputs, fp32 accumulation; the per-candidate

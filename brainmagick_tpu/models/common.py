@@ -225,6 +225,15 @@ class ChannelMerger(nn.Module):
             dist = jnp.linalg.norm(mask_positions - center, axis=-1)
             score_offset = jnp.where(dist <= self.dropout, -jnp.inf,
                                      score_offset)
+        # a row whose every channel is masked would softmax to NaN, and
+        # the softmax VJP turns even a ZERO cotangent into NaN (0 * nan)
+        # that the score einsum's backward folds into d(heads) — e.g. a
+        # recording index with no dataset in any split on the
+        # per-recording path. Give such rows a uniform finite softmax;
+        # they are never gathered into the batch.
+        all_masked = jnp.isneginf(score_offset).all(axis=-1,
+                                                    keepdims=True)
+        score_offset = jnp.where(all_masked, 0.0, score_offset)
 
         init = nn.initializers.normal(stddev=1.0 / self.pos_dim ** 0.5)
         if self.per_subject:

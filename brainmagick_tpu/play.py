@@ -206,8 +206,8 @@ def attention_map(solver: Solver
     table = np.asarray(jax.device_get(na["pos_emb"]))        # [R, C, D]
     positions = np.asarray(jax.device_get(na["rec_positions"]))
     scores = np.einsum("rcd,od->roc", table, heads)
-    from .studies.api import INVALID_POSITION
-    invalid = (positions <= INVALID_POSITION + 1e-6).all(axis=-1)
+    from .studies.api import invalid_position_mask
+    invalid = invalid_position_mask(positions)
     scores = np.where(invalid[:, None, :], -np.inf, scores)
     weights = np.asarray(jax.nn.softmax(jnp.asarray(scores), axis=2))
     return weights, positions

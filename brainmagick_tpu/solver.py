@@ -411,15 +411,14 @@ class Solver:
                       negatives, negative_weight, rng, train: bool,
                       return_output: bool,
                       gather_axis: tp.Optional[str] = None,
-                      gather_groups: tp.Optional[tp.Sequence] = None,
-                      group_size: int = 0):
+                      gather_groups: tp.Optional[tp.Sequence] = None):
         """Forward + loss on (a shard of) the batch.
 
         gather_axis: when set (parallel.negatives_group_size != 1 under a
         mesh), the outputs of the shards in this shard's device *group*
         are all_gathered and the other shards' rows join the CLIP
-        candidate pool. group_size == mesh size (gather_groups None)
-        gives global negatives — an extension the reference explicitly
+        candidate pool. A group spanning the whole mesh (gather_groups
+        None) gives global negatives — an extension the reference explicitly
         does NOT do (its per-GPU pools are intentional,
         README.md:139-143). Intermediate group sizes reproduce the
         reference's k-GPU dynamics on a larger mesh (e.g. groups of 4 on
@@ -498,7 +497,7 @@ class Solver:
                         params, batch_stats, arrays, na, pad_weight,
                         negatives, negative_weight, rngs[0], train,
                         return_output, gather_axis=gather_axis,
-                        gather_groups=gather_groups, group_size=k)
+                        gather_groups=gather_groups)
                     loss = jax.lax.pmean(loss, axis)
                     aux["keep"] = jax.lax.psum(aux["keep"], axis)
                     aux["new_bs"] = jax.tree_util.tree_map(
@@ -575,6 +574,18 @@ class Solver:
         with_negatives = n_neg is not None
         if with_negatives:
             assert args.optim.loss == "clip"
+            if jax.process_count() > 1:
+                # per-host pools would feed DIFFERENT values into a
+                # replicated sharding — undefined semantics under XLA's
+                # replica-equality assumption. Refuse loudly rather than
+                # train on arbitrary-host data. (The paper recipe uses
+                # optim.negatives=None, so multi-host pods are
+                # unaffected by default.)
+                raise NotImplementedError(
+                    "optim.negatives with multi-host meshes is not "
+                    "supported: the sampled pool must be identical on "
+                    "every process for the replicated candidate "
+                    "sharding to be well-defined.")
             if args.optim.negative_pool_size is None:
                 args.optim.negative_pool_size = 2 * n_neg
 
@@ -748,6 +759,14 @@ class Solver:
             if will_stop:
                 break
         self.metric_sinks.close()
+        # completion marker: distinguishes a finished XP (incl. early
+        # stop) from one interrupted mid-run, whose history.json exists
+        # after every epoch's commit — the grid runner resumes the
+        # latter instead of skipping it
+        import json
+        with write_and_rename(self.folder / "done.json", "w") as f:
+            json.dump({"epochs": self.epoch,
+                       "best_loss": float(self.best_loss)}, f)
         return self.best_loss
 
     @property

@@ -36,6 +36,14 @@ logger = logging.getLogger(__name__)
 #: bm/models/common.py:184 PositionGetter.INVALID)
 INVALID_POSITION = -0.1
 
+
+def invalid_position_mask(positions) -> np.ndarray:
+    """[..., 2] -> bool mask of padded/unknown sensors — the ONE
+    encoding of 'no layout position' (numpy or jax arrays); keep every
+    consumer on this instead of re-deriving thresholds."""
+    return (positions == INVALID_POSITION).all(axis=-1)
+
+
 register: tp.Dict[str, tp.Type["Recording"]] = {}
 R = tp.TypeVar("R", bound="Recording")
 

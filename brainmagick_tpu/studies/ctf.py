@@ -238,15 +238,33 @@ def read_ctf(path: tp.Union[str, Path]) -> RawData:
 
     nchan, nsamp = res4.no_channels, res4.no_samples
     trial_bytes = 4 * nchan * nsamp
-    total = res4.no_trials * nsamp
-    data = np.empty((nchan, total), dtype=np.float32)
-    t = 0
-    for fname in _meg4_files(ds_path):
+
+    # validate the trial accounting up front so mismatches get a real
+    # diagnostic instead of a broadcast error / silently dropped bytes
+    files = _meg4_files(ds_path)
+    bodies = []
+    file_trials = []
+    for fname in files:
         raw_bytes = fname.read_bytes()
         if raw_bytes[:8] != MEG4_MAGIC:
             raise ValueError(f"{fname}: bad meg4 magic {raw_bytes[:8]!r}")
         body = raw_bytes[8:]
-        n_trials = len(body) // trial_bytes
+        n_trials, leftover = divmod(len(body), trial_bytes)
+        if leftover:
+            raise ValueError(
+                f"{fname}: {leftover} trailing bytes do not form a whole "
+                f"[{nchan} x {nsamp}] trial — truncated or corrupt file")
+        bodies.append(body)
+        file_trials.append(n_trials)
+    if sum(file_trials) != res4.no_trials:
+        raise ValueError(
+            f"{ds_path}: meg4 files hold {sum(file_trials)} trials "
+            f"({file_trials} per file), res4 promises {res4.no_trials}")
+
+    total = res4.no_trials * nsamp
+    data = np.empty((nchan, total), dtype=np.float32)
+    t = 0
+    for body, n_trials in zip(bodies, file_trials):
         trials = np.frombuffer(
             body, ">i4", count=n_trials * nchan * nsamp
         ).reshape(n_trials, nchan, nsamp)
@@ -254,9 +272,6 @@ def read_ctf(path: tp.Union[str, Path]) -> RawData:
         chunk = trials.transpose(1, 0, 2).reshape(nchan, -1)
         data[:, t:t + chunk.shape[1]] = chunk
         t += chunk.shape[1]
-    if t != total:
-        raise ValueError(f"{ds_path}: meg4 files hold {t} samples/chan, "
-                         f"res4 promises {total}")
     data *= _channel_cal(res4.sensors).astype(np.float32)[:, None]
     return RawData(data=data, sample_rate=res4.sample_rate,
                    ch_names=list(res4.ch_names),

@@ -85,9 +85,11 @@ def plot_attention_map(weights: np.ndarray, positions: np.ndarray,
     Table-1 notebook visualization; inputs from play.attention_map)."""
     import matplotlib.pyplot as plt
 
+    from .studies.api import invalid_position_mask
+
     w = weights[recording]           # [O, C]
     pos = positions[recording]       # [C, 2]
-    valid = (pos > -0.05).all(axis=-1)
+    valid = ~invalid_position_mask(pos)
     n = min(n_outputs, w.shape[0])
     side = int(np.ceil(np.sqrt(n)))
     fig, axes = plt.subplots(side, side, figsize=figsize)

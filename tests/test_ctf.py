@@ -75,8 +75,18 @@ def test_ds_truncated_meg4_rejected(tmp_path):
     ctf.write_ctf(ds, raw, trial_samples=1000)
     meg4 = ds / "trunc.meg4"
     body = meg4.read_bytes()
-    meg4.write_bytes(body[:len(body) // 2])
-    with pytest.raises(ValueError, match="samples"):
+    # drop half a trial: whole-trial accounting must name the bytes
+    meg4.write_bytes(body[:len(body) - 1000])
+    with pytest.raises(ValueError, match="trailing bytes"):
+        ctf.read_ctf(ds)
+    # whole missing trial: count mismatch vs the res4 promise
+    trial_bytes = 4 * 12 * 1000
+    meg4.write_bytes(body[:8 + trial_bytes])
+    with pytest.raises(ValueError, match="1 trials.*promises 2"):
+        ctf.read_ctf(ds)
+    # EXTRA whole trial: also a clear diagnostic, not a broadcast crash
+    meg4.write_bytes(body + body[8:8 + trial_bytes])
+    with pytest.raises(ValueError, match="3 trials.*promises 2"):
         ctf.read_ctf(ds)
 
 

@@ -131,7 +131,7 @@ def test_run_jobs_skips_completed(tmp_path, monkeypatch):
     done_sig = jobs[0].sig
     xp_dir = tmp_path / "xps" / done_sig
     xp_dir.mkdir(parents=True)
-    (xp_dir / "history.json").write_text("[]")
+    (xp_dir / "done.json").write_text('{"epochs": 2}')
     monkeypatch.setattr(runner, "_job_command",
                         lambda job, out_dir: [sys.executable, "-c",
                                               "print('ran')"])

@@ -218,6 +218,42 @@ def test_merger_per_recording_equals_per_sample():
                                atol=1e-6)
 
 
+def test_merger_all_invalid_recording_row_keeps_grads_finite():
+    """A recording row whose every sensor is padded must not poison the
+    heads gradient: softmax of an all--inf row is NaN and its VJP turns
+    even zero cotangents into NaN (regression for the per-recording
+    path with empty recording indices)."""
+    from brainmagick_tpu.models.common import ChannelMerger, fourier_emb
+    from brainmagick_tpu.studies.api import INVALID_POSITION
+
+    rng = np.random.RandomState(0)
+    R, B, C, T, O, D = 3, 6, 10, 16, 4, 32
+    rec_positions = rng.rand(R, C, 2).astype(np.float32)
+    rec_positions[1] = INVALID_POSITION      # recording 1: no sensors
+    rec_positions = jnp.asarray(rec_positions)
+    rec_index = jnp.asarray([0, 2, 0, 2, 2, 0])  # row 1 never gathered
+    positions = rec_positions[rec_index]
+    meg = jnp.asarray(rng.randn(B, T, C).astype(np.float32))
+    table = fourier_emb(rec_positions, D)
+
+    merger = ChannelMerger(O, pos_dim=D)
+    variables = merger.init(jax.random.PRNGKey(0), meg, positions,
+                            rec_index)
+
+    def loss(params):
+        out = merger.apply({"params": params}, meg, positions, rec_index,
+                           pos_emb=table, rec_index=rec_index,
+                           rec_positions=rec_positions)
+        return (out ** 2).sum()
+
+    value = loss(variables["params"])
+    grads = jax.grad(loss)(variables["params"])
+    assert np.isfinite(float(value))
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all(), \
+            "NaN gradient from the all-invalid recording row"
+
+
 class TestClipLoss:
     def test_identity_retrieval(self):
         from brainmagick_tpu.losses import ClipLoss
