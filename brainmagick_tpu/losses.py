@@ -61,6 +61,11 @@ class ClipLoss(nn.Module):
     #: ('bfloat16' keeps the TPU MXU at full rate with fp32 accumulation;
     #: None = inputs' own dtype). Softmax/log-softmax stay fp32.
     compute_dtype: tp.Optional[str] = None
+    #: layout of the `estimates` argument: 'bct' (reference, channels
+    #: second) or 'btc' (channels-last — lets a channels-last model skip
+    #: its exit transpose; the score contraction is layout-agnostic).
+    #: Candidates are always [B', C, T] (the data pipeline's layout).
+    est_layout: str = "bct"
 
     def trim_samples(self, estimates: jax.Array, candidates: jax.Array,
                      train: bool) -> tp.Tuple[jax.Array, jax.Array]:
@@ -71,22 +76,30 @@ class ClipLoss(nn.Module):
             tmin, tmax = self.tmin_train, self.tmax_train
         else:
             tmin, tmax = self.tmin, self.tmax
+        time_axis = 1 if self.est_layout == "btc" else estimates.ndim - 1
         trim_min = 0
-        trim_max = estimates.shape[-1]
+        trim_max = estimates.shape[time_axis]
         if tmin is not None:
             assert tmin >= self.dset_tmin, "clip.tmin must be >= dset.tmin"
             trim_min = int((-self.dset_tmin + tmin) * self.dset_sample_rate)
         if tmax is not None:
             trim_max = int((-self.dset_tmin + tmax) * self.dset_sample_rate)
-        return (estimates[..., trim_min:trim_max],
-                candidates[..., trim_min:trim_max])
+        tsl = slice(trim_min, trim_max)
+        est = estimates[:, tsl, :] if self.est_layout == "btc" \
+            else estimates[..., tsl]
+        return est, candidates[..., tsl]
 
     @nn.compact
     def get_scores(self, estimates: jax.Array, candidates: jax.Array,
                    train: bool = False) -> jax.Array:
-        """[B, C, T] x [B', C, T] -> [B, B'] matching scores."""
+        """[B, C, T] (or [B, T, C] with est_layout='btc') x [B', C, T]
+        -> [B, B'] matching scores."""
         estimates, candidates = self.trim_samples(estimates, candidates,
                                                   train)
+        if self.est_layout == "btc" and (self.linear or self.pool
+                                         or self.center):
+            # the rare transform paths are defined on [B, C, T]
+            estimates = jnp.swapaxes(estimates, 1, 2)
         if self.linear:
             proj_est = nn.Dense(self.linear, name="linear_est")
             proj_gt = (proj_est if self.twin
@@ -100,22 +113,32 @@ class ClipLoss(nn.Module):
             estimates = estimates - estimates.mean(axis=(1, 2), keepdims=True)
             candidates = candidates - candidates.mean(axis=(1, 2),
                                                       keepdims=True)
-        # norm accumulation always in fp32: a bf16 sum over ~C*T squares
-        # carries ~1% quantization error, enough to flip near-tied
-        # candidate rankings
+        est_spec = "btc" if (self.est_layout == "btc" and estimates.ndim == 3
+                             and not (self.linear or self.pool
+                                      or self.center)) else "bct"
+        if self.compute_dtype is not None:
+            cd = jnp.dtype(self.compute_dtype)
+            # one cast each: the candidate tensor is read from HBM at
+            # half width by BOTH the norm reduction and the score
+            # contraction (it is the step's largest loss-side operand).
+            # Norms accumulate the bf16 values in fp32 — quantization of
+            # the INPUTS (~0.4% per element, unbiased) is matched between
+            # the norm and the scores it scales, unlike a bf16-
+            # ACCUMULATED sum which drifts with the reduction order.
+            estimates = estimates.astype(cd)
+            candidates = candidates.astype(cd)
+            inv_norms = 1 / (1e-8 + jnp.sqrt(jnp.sum(
+                candidates.astype(jnp.float32) ** 2, axis=(1, 2))))
+            scores = jnp.einsum(f"{est_spec},oct->bo", estimates, candidates,
+                                preferred_element_type=jnp.float32)
+            return scores * inv_norms[None, :]
+        # norm accumulation in fp32: a bf16 sum over ~C*T squares carries
+        # ~1% quantization error, enough to flip near-tied rankings
         inv_norms = 1 / (1e-8 + jnp.linalg.norm(
             candidates.reshape(candidates.shape[0], -1)
             .astype(jnp.float32), axis=1))
-        if self.compute_dtype is not None:
-            cd = jnp.dtype(self.compute_dtype)
-            # bf16 matmul inputs, fp32 accumulation; the per-candidate
-            # norm scaling stays fp32 and applies after the contraction
-            scores = jnp.einsum("bct,oct->bo", estimates.astype(cd),
-                                candidates.astype(cd),
-                                preferred_element_type=jnp.float32)
-            return scores * inv_norms[None, :]
-        return jnp.einsum("bct,oct,o->bo", estimates, candidates, inv_norms,
-                          preferred_element_type=jnp.float32)
+        return jnp.einsum(f"{est_spec},oct,o->bo", estimates, candidates,
+                          inv_norms, preferred_element_type=jnp.float32)
 
     def get_probabilities(self, estimates: jax.Array,
                           candidates: jax.Array) -> jax.Array:

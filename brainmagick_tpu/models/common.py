@@ -270,6 +270,58 @@ class ChannelMerger(nn.Module):
         return out
 
 
+class DotConv1D(nn.Module):
+    """k-tap 1D conv lowered to MXU dots (stride 1, SAME padding,
+    odd kernel).
+
+    XLA's conv_general_dilated backward runs at 43-67% MFU for the paper
+    encoder's dilated k=3 convs (measured per-HLO,
+    scripts/profile_step.py) while plain dot_generals on the same shapes
+    reach ~80%; lowering the conv to k shifted-slice matmuls hands XLA
+    dots in both the forward and backward pass. mode='concat'
+    additionally merges the taps into ONE [B*T, k*C] x [k*C, O] dot —
+    k*C = 960 pads to 1024 on the 128-lane MXU (94% tile utilization,
+    vs 83% for C = 320 -> 384). Parameter shapes/names match nn.Conv
+    (kernel [k, C, O], bias [O]) so either lowering loads the same
+    checkpoints.
+    """
+    features: int
+    kernel: int
+    dilation: int = 1
+    mode: str = "dots"   # dots | concat
+    use_bias: bool = True
+    dtype: tp.Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k, d = self.kernel, self.dilation
+        assert k % 2 == 1, "odd kernel required for SAME padding"
+        B, T, C = x.shape
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (k, C, self.features))
+        dt = self.dtype if self.dtype is not None else x.dtype
+        pad = (k // 2) * d
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+        taps = [xp[:, j * d: j * d + T] for j in range(k)]
+        if self.mode == "concat":
+            xc = jnp.concatenate(taps, axis=-1)
+            y = jnp.einsum("btc,co->bto", xc.astype(dt),
+                           w.reshape(k * C, self.features).astype(dt),
+                           preferred_element_type=jnp.float32)
+        else:
+            y = None
+            for j, tap in enumerate(taps):
+                yj = jnp.einsum("btc,co->bto", tap.astype(dt),
+                                w[j].astype(dt),
+                                preferred_element_type=jnp.float32)
+                y = yj if y is None else y + yj
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            y = y + bias
+        return y.astype(dt)
+
+
 class ConvSequence(nn.Module):
     """Stack of dilated 1D convs with optional BN / GELU / residual skips
     / interleaved GLU gates (bm/models/common.py:79-151 parity, layout
@@ -297,6 +349,11 @@ class ConvSequence(nn.Module):
     #: computation dtype for convs (bfloat16 on TPU keeps the MXU at full
     #: rate; params and batch-norm statistics stay float32)
     dtype: tp.Any = None
+    #: lowering of the stride-1 stack convs: 'conv' (XLA
+    #: conv_general_dilated), or 'dots'/'concat' (shifted-slice matmuls,
+    #: see DotConv1D). Numerics identical; measured on-chip via
+    #: scripts/exp_conv_impl.py.
+    conv_impl: str = "conv"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -319,6 +376,10 @@ class ConvSequence(nn.Module):
                 x = nn.ConvTranspose(
                     chout, (self.kernel,), strides=(self.stride,),
                     padding=[(pad, pad)], dtype=self.dtype)(x)
+            elif (self.conv_impl != "conv" and self.stride == 1
+                  and (self.groups == 1 or k == 0)):
+                x = DotConv1D(chout, self.kernel, dilation=dilation,
+                              mode=self.conv_impl, dtype=self.dtype)(x)
             else:
                 x = nn.Conv(
                     chout, (self.kernel,), strides=(self.stride,),
@@ -352,16 +413,16 @@ class ConvSequence(nn.Module):
                 x = x + old_x
             if self.glu and (k + 1) % self.glu == 0:
                 width = 1 + 2 * self.glu_context
-                if self.glu_glu:
-                    gated = nn.Conv(2 * chout, (width,),
+                glu_out = 2 * chout if self.glu_glu else chout
+                if self.conv_impl != "conv":
+                    gated = DotConv1D(glu_out, width,
+                                      mode=self.conv_impl,
+                                      dtype=self.dtype)(x)
+                else:
+                    gated = nn.Conv(glu_out, (width,),
                                     padding=[(self.glu_context,) * 2],
                                     dtype=self.dtype)(x)
-                    x = nn.glu(gated, axis=-1)
-                else:
-                    x = nn.Conv(chout, (width,),
-                                padding=[(self.glu_context,) * 2],
-                                dtype=self.dtype)(x)
-                    x = act(x)
+                x = nn.glu(gated, axis=-1) if self.glu_glu else act(gated)
         return x
 
 

@@ -91,6 +91,11 @@ class SimpleConv(nn.Module):
     #: dtype of the returned estimate (None = float32); set 'bfloat16'
     #: when the loss computes its score matmul in bf16 anyway
     output_dtype: tp.Any = None
+    #: 'bct' returns [B, out, T] (reference layout); 'btc' returns the
+    #: internal channels-last [B, T, out] as-is, skipping the exit
+    #: transpose (two HBM passes over the largest activation) when the
+    #: consumer (ClipLoss est_layout='btc') is layout-agnostic anyway
+    output_layout: str = "bct"
 
     @nn.compact
     def __call__(self, inputs: tp.Mapping[str, jax.Array],
@@ -240,7 +245,10 @@ class SimpleConv(nn.Module):
         # [B, out, T] tensor
         out_dtype = jnp.dtype(self.output_dtype) \
             if self.output_dtype is not None else jnp.float32
-        return jnp.swapaxes(x[:, :length], 1, 2).astype(out_dtype)
+        x = x[:, :length]
+        if self.output_layout == "btc":
+            return x.astype(out_dtype)
+        return jnp.swapaxes(x, 1, 2).astype(out_dtype)
 
     def _stft(self, meg: jax.Array) -> jax.Array:
         """Spectrogram branch: [B, T, C] -> [B, T', C * freqs (*2)]."""

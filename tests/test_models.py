@@ -51,6 +51,28 @@ class TestSimpleConv:
         assert out.shape == (2, 32, 61)
         assert np.isfinite(np.asarray(out)).all()
 
+    def test_output_layout_btc_is_transposed_bct(self):
+        """output_layout='btc' returns the same values as the default
+        [B, out, T] layout, just channels-last (same params)."""
+        meg, _, subjects, positions = _batch(C=20, T=61)
+        kw = dict(in_channels=dict(meg=20), out_channels=32,
+                  hidden=dict(meg=48), depth=2, kernel_size=3,
+                  dilation_period=2, skip=True, subject_layers=True,
+                  subject_dim=0, complex_out=True, glu=2, glu_context=1,
+                  merger=True, merger_channels=16, merger_pos_dim=32,
+                  gelu=True, batch_norm=True, initial_linear=16,
+                  n_subjects=4)
+        m_bct = SimpleConv(**kw)
+        m_btc = SimpleConv(**kw, output_layout="btc")
+        variables = m_bct.init({"params": jax.random.PRNGKey(0)},
+                               dict(meg=meg), subjects, positions,
+                               train=False)
+        o_bct = m_bct.apply(variables, dict(meg=meg), subjects, positions)
+        o_btc = m_btc.apply(variables, dict(meg=meg), subjects, positions)
+        assert o_btc.shape == (2, 61, 32)
+        np.testing.assert_allclose(np.asarray(jnp.swapaxes(o_btc, 1, 2)),
+                                   np.asarray(o_bct), rtol=1e-6)
+
     def test_encode_task_two_branches(self):
         meg, features, subjects, positions = _batch()
         model = SimpleConv(
@@ -314,6 +336,31 @@ class TestClipLoss:
         np.testing.assert_allclose(loss16, loss32, rtol=2e-2)
         probs16 = b16.apply(v, cand, cand, method=b16.get_probabilities)
         assert (np.asarray(probs16).argmax(axis=1) == np.arange(6)).all()
+
+    def test_est_layout_btc_matches_bct(self):
+        """est_layout='btc' (channels-last estimates, skipping the
+        model's exit transpose) scores identically to the reference
+        [B, C, T] layout — including trim windows, the bf16 path, and
+        the transform fallbacks (linear/pool/center)."""
+        from brainmagick_tpu.losses import ClipLoss
+
+        rng = np.random.RandomState(0)
+        est = jnp.asarray(rng.randn(6, 8, 20).astype(np.float32))
+        est_t = jnp.swapaxes(est, 1, 2)
+        cand = jnp.asarray(rng.randn(9, 8, 20).astype(np.float32))
+        base = dict(dset_tmin=-0.5, dset_sample_rate=120.)
+        variants = [dict(), dict(compute_dtype="bfloat16"),
+                    dict(tmin=-0.4, tmax=-0.3), dict(linear=5),
+                    dict(pool=True), dict(center=True)]
+        for kw in variants:
+            a = ClipLoss(**base, **kw)
+            va = a.init(jax.random.PRNGKey(1), est, cand,
+                        method=a.get_scores)
+            sa = a.apply(va, est, cand, method=a.get_scores)
+            b = ClipLoss(**base, est_layout="btc", **kw)
+            sb = b.apply(va, est_t, cand, method=b.get_scores)
+            np.testing.assert_allclose(np.asarray(sb), np.asarray(sa),
+                                       rtol=1e-5, err_msg=str(kw))
 
 
 def test_feature_decoding_loss():
