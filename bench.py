@@ -64,7 +64,11 @@ def main() -> None:
         glu_context=1, merger=True, merger_channels=270,
         merger_pos_dim=2048, initial_linear=270, gelu=True,
         batch_norm=True, n_subjects=N_SUBJECTS, dtype="bfloat16",
-        output_dtype="bfloat16")
+        output_dtype="bfloat16",
+        # encoder conv biases are cancelled exactly by the BatchNorm
+        # that follows them; their gradients cost a full cotangent read
+        # per layer (+2% step time measured) — elide them
+        bn_conv_bias=False)
     clip = ClipLoss(dset_tmin=-0.5, dset_sample_rate=120.,
                     compute_dtype="bfloat16")
 

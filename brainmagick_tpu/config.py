@@ -164,7 +164,17 @@ SIMPLECONV_DEFAULTS: tp.Dict[str, tp.Any] = dict(
     merger_penalty=0., merger_per_subject=False, dropout=0.,
     dropout_rescale=True, initial_linear=0, initial_depth=1,
     initial_nonlin=False, subsample_meg_channels=0,
-    dtype=None)  # 'bfloat16' for full-rate TPU MXU convs
+    # TPU performance knobs (all default to reference-equivalent
+    # behavior; sigs unchanged -- non-default deltas only):
+    #   dtype='bfloat16'     full-rate MXU convs, fp32 params/stats
+    #   output_dtype         estimate dtype (pair with clip bf16 scores)
+    #   output_layout='btc'  channels-last estimates (ClipLoss
+    #                        est_layout='btc' consumes them directly)
+    #   conv_impl            encoder conv lowering (see DotConv1D)
+    #   bn_conv_bias=False   elide conv biases that BatchNorm cancels
+    #                        (+2% step time, function space unchanged)
+    dtype=None, output_dtype=None, output_layout="bct", conv_impl="conv",
+    bn_conv_bias=True)
 
 CONVRNN_DEFAULTS: tp.Dict[str, tp.Any] = dict(
     concatenate=False, depth=2, linear_out=False, complex_out=False,

@@ -354,6 +354,14 @@ class ConvSequence(nn.Module):
     #: see DotConv1D). Numerics identical; measured on-chip via
     #: scripts/exp_conv_impl.py.
     conv_impl: str = "conv"
+    #: a conv bias immediately followed by BatchNorm is mathematically
+    #: dead (BN subtracts the batch mean, cancelling any constant; BN's
+    #: own beta replaces it) yet its GRADIENT costs a full read of the
+    #: [B, T, C] cotangent per layer on the backward pass (~5% of the
+    #: paper step, measured per-HLO). False elides those biases; True
+    #: keeps the reference's parameter structure (torch Conv1d defaults,
+    #: bm/models/common.py:142-151).
+    bn_conv_bias: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -372,20 +380,25 @@ class ConvSequence(nn.Module):
             if self.dilation_period and (k % self.dilation_period) == 0:
                 dilation = 1
             pad = self.kernel // 2 * dilation
+            has_bn = self.batch_norm and (self.activation_on_last
+                                          or not is_last)
+            use_bias = self.bn_conv_bias or not has_bn
             if self.decode:
                 x = nn.ConvTranspose(
                     chout, (self.kernel,), strides=(self.stride,),
-                    padding=[(pad, pad)], dtype=self.dtype)(x)
+                    padding=[(pad, pad)], use_bias=use_bias,
+                    dtype=self.dtype)(x)
             elif (self.conv_impl != "conv" and self.stride == 1
                   and (self.groups == 1 or k == 0)):
                 x = DotConv1D(chout, self.kernel, dilation=dilation,
-                              mode=self.conv_impl, dtype=self.dtype)(x)
+                              mode=self.conv_impl, use_bias=use_bias,
+                              dtype=self.dtype)(x)
             else:
                 x = nn.Conv(
                     chout, (self.kernel,), strides=(self.stride,),
                     padding=[(pad, pad)], kernel_dilation=(dilation,),
                     feature_group_count=self.groups if k > 0 else 1,
-                    dtype=self.dtype)(x)
+                    use_bias=use_bias, dtype=self.dtype)(x)
             dilation *= self.dilation_growth
             if self.activation_on_last or not is_last:
                 if self.batch_norm:

@@ -96,6 +96,10 @@ class SimpleConv(nn.Module):
     #: transpose (two HBM passes over the largest activation) when the
     #: consumer (ClipLoss est_layout='btc') is layout-agnostic anyway
     output_layout: str = "bct"
+    #: False elides encoder conv biases that BatchNorm cancels anyway
+    #: (their gradients cost one full cotangent read per layer — see
+    #: ConvSequence.bn_conv_bias); True = reference param structure
+    bn_conv_bias: bool = True
 
     @nn.compact
     def __call__(self, inputs: tp.Mapping[str, jax.Array],
@@ -200,7 +204,8 @@ class SimpleConv(nn.Module):
             groups=self.groups, dilation_period=self.dilation_period,
             skip=self.skip, post_skip=self.post_skip, scale=self.scale,
             rewrite=self.rewrite, glu=self.glu, glu_context=self.glu_context,
-            glu_glu=self.glu_glu, activation=act, dtype=dtype)
+            glu_glu=self.glu_glu, activation=act, dtype=dtype,
+            bn_conv_bias=self.bn_conv_bias)
 
         final_channels = sum(s[-1] for s in sizes.values())
         use_final = self.linear_out or self.complex_out

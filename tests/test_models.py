@@ -73,6 +73,44 @@ class TestSimpleConv:
         np.testing.assert_allclose(np.asarray(jnp.swapaxes(o_btc, 1, 2)),
                                    np.asarray(o_bct), rtol=1e-6)
 
+    def test_bn_conv_bias_elision_is_exact(self):
+        """bn_conv_bias=False drops conv biases that BatchNorm cancels:
+        the train-mode output matches the reference structure even with
+        large nonzero biases (BN subtracts the batch mean, so any
+        constant shift vanishes); GLU convs (no BN after them) keep
+        theirs."""
+        from brainmagick_tpu.models.common import ConvSequence
+
+        rng = np.random.RandomState(0)
+        channels = (10,) + (16,) * 4
+        x = jnp.asarray(rng.randn(2, 37, 10).astype(np.float32))
+        base = dict(kernel=3, stride=1, dilation_growth=2,
+                    dilation_period=2, skip=True, glu=2, glu_context=1,
+                    batch_norm=True)
+        e1 = ConvSequence(channels, **base)
+        e0 = ConvSequence(channels, **base, bn_conv_bias=False)
+        v1 = e1.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        v0 = e0.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        p1, p0, n_elided = dict(v1["params"]), dict(v0["params"]), 0
+        for name, mod in v1["params"].items():
+            if (name.startswith("Conv_") and "bias" in mod
+                    and "bias" not in v0["params"][name]):
+                p1[name] = dict(mod, bias=jnp.full_like(mod["bias"], 7.5))
+                p0[name] = {k: v for k, v in mod.items() if k != "bias"}
+                n_elided += 1
+            else:
+                p0[name] = mod
+        assert n_elided == 4  # stack convs; Conv_2/Conv_5 are GLU
+        r1, _ = e1.apply({"params": p1, "batch_stats": v1["batch_stats"]},
+                         x, train=True, mutable=["batch_stats"])
+        r0, _ = e0.apply({"params": p0, "batch_stats": v0["batch_stats"]},
+                         x, train=True, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(r0), np.asarray(r1),
+                                   rtol=2e-4, atol=2e-4)
+        assert any(n.startswith("Conv_") and "bias" in m
+                   for n, m in v0["params"].items()), \
+            "GLU convs must keep their biases"
+
     def test_encode_task_two_branches(self):
         meg, features, subjects, positions = _batch()
         model = SimpleConv(
