@@ -155,7 +155,7 @@ def load_test_data(solver: Solver, batch_size: tp.Optional[int] = None,
 
 
 def build_probs(solver: Solver, preds: np.ndarray, trues: np.ndarray,
-                batch_size: int = 64,
+                batch_size: int = 256,
                 tmin: tp.Optional[float] = None,
                 tmax: tp.Optional[float] = None) -> np.ndarray:
     """[N_pred, N_true] probability matrix via blocked CLIP scoring on
@@ -176,7 +176,14 @@ def build_probs(solver: Solver, preds: np.ndarray, trues: np.ndarray,
     loss_params = {"params": solver.state["params"].get("loss", {})}
 
     # candidates streamed through HBM in blocks (large pools don't fit
-    # on one chip at wav2vec dims); softmax over the full row on host
+    # on one chip at wav2vec dims); softmax over the full row on host.
+    # With a bf16 score path the blocks are stored in bf16 ONCE here —
+    # halves the host->device stream and the pool's HBM footprint
+    # (scoring itself is fastest in fp32 at these shapes, measured in
+    # scripts/bench_eval.py). get_scores' norms use the same cast
+    # values, so scores match the in-call cast exactly.
+    cand_dtype = (jnp.dtype(clip.compute_dtype)
+                  if clip.compute_dtype is not None else None)
     cand_block = 2048
     n_cand = len(trues)
     cand_blocks = []
@@ -186,7 +193,7 @@ def build_probs(solver: Solver, preds: np.ndarray, trues: np.ndarray,
         if pad_c:
             block = np.concatenate(
                 [block, np.zeros_like(block[:1]).repeat(pad_c, 0)])
-        cand_blocks.append(jnp.asarray(block))
+        cand_blocks.append(jnp.asarray(block, dtype=cand_dtype))
 
     @jax.jit
     def block_scores(block, cand):
@@ -222,7 +229,7 @@ def accuracy_from_probs(probs: np.ndarray, target_labels: np.ndarray,
 
 
 def run_eval(solver: Solver, output_dir: tp.Union[str, Path],
-             n_negatives: int = 20_000, probs_batch_size: int = 64,
+             n_negatives: int = 20_000, probs_batch_size: int = 256,
              n_recordings: tp.Optional[int] = None,
              test_study: tp.Optional[str] = None) -> pd.DataFrame:
     """Full offline evaluation; writes solver_config.yaml,

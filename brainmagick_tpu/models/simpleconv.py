@@ -100,6 +100,9 @@ class SimpleConv(nn.Module):
     #: (their gradients cost one full cotangent read per layer — see
     #: ConvSequence.bn_conv_bias); True = reference param structure
     bn_conv_bias: bool = True
+    #: encoder conv lowering: 'conv' (XLA; measured fastest on v5e) or
+    #: 'dots'/'concat' shifted-matmul forms — see DotConv1D
+    conv_impl: str = "conv"
 
     @nn.compact
     def __call__(self, inputs: tp.Mapping[str, jax.Array],
@@ -205,7 +208,7 @@ class SimpleConv(nn.Module):
             skip=self.skip, post_skip=self.post_skip, scale=self.scale,
             rewrite=self.rewrite, glu=self.glu, glu_context=self.glu_context,
             glu_glu=self.glu_glu, activation=act, dtype=dtype,
-            bn_conv_bias=self.bn_conv_bias)
+            bn_conv_bias=self.bn_conv_bias, conv_impl=self.conv_impl)
 
         final_channels = sum(s[-1] for s in sizes.values())
         use_final = self.linear_out or self.complex_out

@@ -55,14 +55,29 @@ int gather_epochs(const float* raw, int64_t n_channels,
                 const int64_t c = job % n_channels;
                 const float* src = raw + c * total_samples + starts[b];
                 float* dst = out + (b * out_channels + c) * n_times;
-                std::memcpy(dst, src, sizeof(float) * n_times);
+                if (job + 1 < n_jobs) {
+                    // rows are short (~1.5 KB) and strided by a whole
+                    // channel: ask for the next row's first lines early
+                    const int64_t b2 = (job + 1) / n_channels;
+                    const int64_t c2 = (job + 1) % n_channels;
+                    const float* nxt =
+                        raw + c2 * total_samples + starts[b2];
+                    __builtin_prefetch(nxt, 0, 1);
+                    __builtin_prefetch(nxt + 16, 0, 1);
+                }
                 if (baseline_len > 0) {
+                    // single fused pass: mean from SRC, then
+                    // dst = src - m (the memcpy-then-fixup form reads
+                    // dst back twice; this writes each line once)
                     double mean = 0.0;
                     for (int64_t t = 0; t < baseline_len; ++t)
-                        mean += dst[t];
+                        mean += src[t];
                     const float m =
                         static_cast<float>(mean / baseline_len);
-                    for (int64_t t = 0; t < n_times; ++t) dst[t] -= m;
+                    for (int64_t t = 0; t < n_times; ++t)
+                        dst[t] = src[t] - m;
+                } else {
+                    std::memcpy(dst, src, sizeof(float) * n_times);
                 }
             }
         }

@@ -97,6 +97,12 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
     loss_params = {"params": solver.state["params"]["loss"]}
     clip = solver.clip_loss
 
+    # with a bf16 score path the fixed pool is stored in bf16 once —
+    # halves the host->device stream and the pool's HBM footprint
+    # (scripts/bench_eval.py); get_scores' norms use the same cast
+    # values, so scores match the in-call cast exactly
+    cand_dtype = (jnp.dtype(clip.compute_dtype)
+                  if clip.compute_dtype is not None else None)
     cand_block = 2048
     n_fixed = len(fixed_all)
     fixed_blocks = []
@@ -106,7 +112,7 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
         if pad_c:
             block = np.concatenate([block, np.zeros_like(
                 block[:1]).repeat(pad_c, 0)])
-        fixed_blocks.append(jnp.asarray(block))
+        fixed_blocks.append(jnp.asarray(block, dtype=cand_dtype))
 
     @jax.jit
     def block_scores(est, cand):
@@ -135,7 +141,10 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
     correct = 0.
     correct_vocab = 0.
     soft_correct = 0.
-    chunk = 64
+    # 256-row estimate blocks: the [B, F*T] x [block, F*T] contraction
+    # runs 3.1x faster per pair at B=256 than the reference-style 64
+    # (B=64 fills half an MXU tile; scripts/bench_eval.py M-sweep)
+    chunk = 256
     n = len(estimates)
     # the fixed negative pool is shared by every row: compute its vocab
     # grouping once (the reference re-runs unique per estimate,

@@ -2,14 +2,14 @@
 the train-step rate it must sustain.
 
 VERDICT round-1 flagged that nothing proves the loader keeps up with
-the jitted step (~41 ms for batch 256 on a v5e chip = ~6.2k samples/s).
+the jitted step (35.3 ms for batch 256 on a v5e chip = ~7.2k samples/s).
 This measures the full host path — memmap epoch reads, dense feature
 track slicing, native C++ batch assembly, collate, pad — WITHOUT the
 device transfer (which is relay-bound in this container and PCIe-bound
 on production hosts; see STATUS.md).
 
 Prints one JSON line per metric. Pass --step-ms to compare against a
-measured step time (default 41 ms, the bench.py paper-config step).
+measured step time (default 35.3 ms, the bench.py paper-config step).
 """
 
 from __future__ import annotations
@@ -23,7 +23,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 
-def main(step_ms: float = 41.0, batch_size: int = 256,
+def main(step_ms: float = 35.3, batch_size: int = 256,
          n_batches: int = 20, num_workers: int = 4) -> None:
     from brainmagick_tpu import dataset as dset
     from brainmagick_tpu.env import env

@@ -47,7 +47,7 @@ def build_step():
         glu_context=1, merger=True, merger_channels=270,
         merger_pos_dim=2048, initial_linear=270, gelu=True,
         batch_norm=True, n_subjects=N_SUBJECTS, dtype="bfloat16",
-        output_dtype="bfloat16")
+        output_dtype="bfloat16", bn_conv_bias=False)
     clip = ClipLoss(dset_tmin=-0.5, dset_sample_rate=120.,
                     compute_dtype="bfloat16")
 
