@@ -33,7 +33,7 @@ import pandas as pd
 
 from .dataset import ConcatDataset
 from .features.basic import stable_word_hash
-from .losses import ClipLoss
+from .losses import ClipLoss, retrieval_scores
 from .solver import Solver
 from .utils import write_and_rename
 
@@ -197,8 +197,9 @@ def build_probs(solver: Solver, preds: np.ndarray, trues: np.ndarray,
 
     @jax.jit
     def block_scores(block, cand):
-        return clip.apply(loss_params, block, cand,
-                          method=clip.get_scores)
+        # Pallas blocked GEMM fast path (XLA einsum fallback for
+        # trim/transform configs) — losses.retrieval_scores
+        return retrieval_scores(clip, loss_params, block, cand)
 
     probs = np.zeros((len(preds), n_cand), dtype=np.float32)
     for lo in range(0, len(preds), batch_size):

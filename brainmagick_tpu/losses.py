@@ -169,6 +169,36 @@ class ClipLoss(nn.Module):
         return -(diag * w).sum() / jnp.maximum(w.sum(), 1.0)
 
 
+def retrieval_scores(clip: ClipLoss, params, estimates: jax.Array,
+                     candidates: jax.Array) -> jax.Array:
+    """No-grad scoring fast path for offline eval / WER.
+
+    Same semantics as ``clip.get_scores`` (train=False) for the common
+    configuration (no linear/pool/center/trim): candidate-norm-scaled
+    [B, B'] scores, norms from the compute-dtype values. The flattened
+    [B, C*T] x [B', C*T] contraction runs through the Pallas blocked
+    GEMM (ops/pallas_matmul.py) — scoring is pure inference, so the
+    kernel needs no VJP. Any transform/trim configuration falls back to
+    the reference einsum path.
+    """
+    if (clip.linear or clip.pool or clip.center
+            or clip.tmin is not None or clip.tmax is not None):
+        if clip.est_layout == "btc":  # callers always pass [B, C, T]
+            estimates = jnp.swapaxes(estimates, 1, 2)
+        return clip.apply(params, estimates, candidates,
+                          method=clip.get_scores)
+    from .ops.pallas_matmul import nt_matmul
+    if clip.compute_dtype is not None:
+        cd = jnp.dtype(clip.compute_dtype)
+        estimates = estimates.astype(cd)
+        candidates = candidates.astype(cd)
+    e2 = estimates.reshape(estimates.shape[0], -1)
+    c2 = candidates.reshape(candidates.shape[0], -1)
+    inv_norms = 1 / (1e-8 + jnp.sqrt(jnp.sum(
+        c2.astype(jnp.float32) ** 2, axis=1)))
+    return nt_matmul(e2, c2) * inv_norms[None, :]
+
+
 class FeatureDecodingLoss:
     """Per-feature regression (MSE) + class-weighted cross-entropy over
     the FeaturesBuilder channel layout (bm/losses.py:117-173).

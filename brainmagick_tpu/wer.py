@@ -116,7 +116,10 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
 
     @jax.jit
     def block_scores(est, cand):
-        return clip.apply(loss_params, est, cand, method=clip.get_scores)
+        # Pallas blocked GEMM fast path (XLA einsum fallback for
+        # trim/transform configs) — losses.retrieval_scores
+        from .losses import retrieval_scores
+        return retrieval_scores(clip, loss_params, est, cand)
 
     @jax.jit
     def own_scores_fn(est, own):

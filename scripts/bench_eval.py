@@ -3,16 +3,21 @@
 The reference's offline eval (run_eval_probs.py) costs "up to 30 min
 per XP" on one GPU (README.md:238-239): an [N_pred, N_true] CLIP score
 matrix over the deduplicated candidate pool dominates. Our eval.py
-streams candidates through HBM in 2048-wide blocks (they do not fit
-otherwise at wav2vec dims) and scores [batch, C, T] x [block, C, T] on
-the MXU — this measures that inner scoring rate, data device-resident
-and timed as a loop-carried jitted chunk (single dispatch; this
-container's host drives the chip over an HTTP relay, so per-call
-timing would bill relay latency to the TPU).
+streams candidates through HBM in 2048-wide blocks and scores 256-row
+pred blocks (the reference's 64 rows fill half an MXU tile — 3.1x
+slower per pair, measured) through losses.retrieval_scores, which
+flattens the no-grad contraction to a 2D [B, C*T] x [block, C*T] dot
+(~1.9x the 3D einsum's rate: t=343 pads to 384 inside the einsum's
+contraction; see ops/pallas_matmul.py for the full measurement table
+including the hand-blocked Pallas kernel variant).
 
-Reports pred-candidate pairs/s (fp32 and bf16 score paths) and the
-projected scoring time for a full-XP matrix (30k preds x 20k unique
-candidates — the reference's wer_negatives=20k scale).
+Data is generated ON DEVICE (this container feeds the chip over an
+~30 MB/s HTTP relay; production hosts stream the pool at PCIe rate)
+and timed as a loop-carried jitted chunk (single dispatch). Reports
+pred-candidate pairs/s for the einsum path and the production
+retrieval_scores path (fp32 + bf16-stored pool), plus the projected
+scoring time for a full-XP matrix (30k preds x 20k unique candidates —
+the reference's wer_negatives=20k scale).
 """
 
 from __future__ import annotations
@@ -39,57 +44,65 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp
-    import numpy as np
 
-    from brainmagick_tpu.losses import ClipLoss
+    from brainmagick_tpu.losses import ClipLoss, retrieval_scores
 
-    # eval.py build_probs shapes. Pred-block 256 (not the reference's
-    # 64): measured 3.1x more pairs/s — 64 rows fill half an MXU tile
-    B, BLOCK, F, T = 256, 2048, 1024, 343
-    rng = np.random.RandomState(0)
-    preds = jnp.asarray(rng.randn(B, F, T).astype(np.float32))
-    cands = jnp.asarray(rng.randn(BLOCK, F, T).astype(np.float32))
+    B, BLOCK, F, T = 256, 2048, 1024, 343  # eval.py build_probs shapes
+    key = jax.random.PRNGKey(0)
+    preds = jax.random.normal(key, (B, F, T), jnp.float32)
+    cands = jax.random.normal(jax.random.fold_in(key, 1), (BLOCK, F, T),
+                              jnp.float32)
+    _ = float(cands.sum())
 
-    for dtype in (None, "bfloat16"):
-        clip = ClipLoss(dset_tmin=-0.5, dset_sample_rate=120.,
-                        compute_dtype=dtype)
-        # like eval.build_probs: candidate blocks are STORED in the
-        # compute dtype (halves the pool's transfer + HBM footprint;
-        # measured: scoring itself is FASTEST in fp32 at these shapes —
-        # 17.9 vs 12.0 Mpairs/s — so bf16 is a memory/transfer
-        # trade-off, not a compute win)
-        cands_t = cands.astype(jnp.bfloat16) if dtype else cands
-
+    def bench(fn, preds, cands, tag):
         def chunk(preds, cands):
             def body(i, carry):
                 acc, p = carry
-                s = clip.apply({}, p, cands, method=clip.get_scores)
-                # loop-carried perturbation (underflows fp32) so XLA
-                # cannot hoist the body and time 1 call as CHUNK
-                return acc + s.sum(), p + 1e-38 * s.sum()
+                s = fn(p, cands)
+                return (acc + s.sum(),
+                        p + (1e-38 * s.sum()).astype(p.dtype))
             acc, _ = jax.lax.fori_loop(
                 0, CHUNK, body, (jnp.zeros((), jnp.float32), preds))
             return acc
 
         jitted = jax.jit(chunk)
-        out = jitted(preds, cands_t)
+        out = jitted(preds, cands)
         _ = float(out)  # compile + warm; float() is the relay-safe sync
         t0 = time.perf_counter()
-        out = jitted(preds, cands_t)
+        out = jitted(preds, cands)
         _ = float(out)
         dt = (time.perf_counter() - t0) / CHUNK
 
         pairs_per_sec = B * BLOCK / dt
         full_pairs = 30_000 * 20_000
         print(json.dumps({
-            "metric": f"eval_scoring_pairs_per_sec[{dtype or 'float32'}]",
+            "metric": f"eval_scoring_pairs_per_sec[{tag}]",
             "value": round(pairs_per_sec / 1e6, 2),
             "unit": "Mpairs/s",
             "block_ms": round(dt * 1e3, 2),
             "projected_full_xp_scoring_s": round(
                 full_pairs / pairs_per_sec, 1),
             "reference_full_xp": "up to 30 min per XP (README.md:238)",
-        }))
+        }), flush=True)
+
+    clip32 = ClipLoss(dset_tmin=-0.5, dset_sample_rate=120.)
+    clip16 = ClipLoss(dset_tmin=-0.5, dset_sample_rate=120.,
+                      compute_dtype="bfloat16")
+
+    def einsum_path(p, c):
+        return clip32.apply({}, p, c, method=clip32.get_scores)
+
+    sel = sys.argv[1:] or ["einsum", "flat32", "flat16"]
+    if "einsum" in sel:
+        bench(einsum_path, preds, cands, "einsum_fp32")
+    if "flat32" in sel:
+        bench(lambda p, c: retrieval_scores(clip32, {}, p, c),
+              preds, cands, "retrieval_fp32")
+    if "flat16" in sel:
+        # like eval.build_probs with clip.compute_dtype=bfloat16: the
+        # pool is STORED in bf16 (halves its HBM/stream footprint)
+        bench(lambda p, c: retrieval_scores(clip16, {}, p, c),
+              preds, cands.astype(jnp.bfloat16), "retrieval_bf16pool")
 
 
 if __name__ == "__main__":

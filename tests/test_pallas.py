@@ -37,3 +37,67 @@ def test_no_clip_falls_back():
     scale = jnp.ones((2, 4), dtype=jnp.float32)
     out, peak = normalize_clamp_peak(meg, center, scale, 1.0, clip=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(meg))
+
+
+class TestNtMatmul:
+    def test_kernel_matches_dot_interpret(self):
+        """Blocked A @ B^T kernel (eval/WER scoring GEMM) vs numpy, in
+        interpret mode, fp32 + bf16 + mixed operands."""
+        import jax.numpy as jnp
+
+        from brainmagick_tpu.ops.pallas_matmul import nt_matmul
+
+        rng = np.random.RandomState(0)
+        M, K, N = 16, 128 * 6, 256
+        a = jnp.asarray(rng.randn(M, K).astype(np.float32))
+        b = jnp.asarray(rng.randn(N, K).astype(np.float32))
+        ref = np.asarray(a) @ np.asarray(b).T
+        out = nt_matmul(a, b, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4,
+                                   atol=1e-4)
+        out16 = nt_matmul(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                          interpret=True)
+        np.testing.assert_allclose(np.asarray(out16), ref, rtol=5e-2,
+                                   atol=0.5)
+        mixed = nt_matmul(a, b.astype(jnp.bfloat16), interpret=True)
+        np.testing.assert_allclose(np.asarray(mixed), ref, rtol=5e-2,
+                                   atol=0.5)
+
+    def test_fallback_for_untiled_shapes(self):
+        import jax.numpy as jnp
+
+        from brainmagick_tpu.ops.pallas_matmul import nt_matmul
+
+        rng = np.random.RandomState(1)
+        a = jnp.asarray(rng.randn(8, 100).astype(np.float32))
+        b = jnp.asarray(rng.randn(64, 100).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(nt_matmul(a, b)),
+            np.asarray(a) @ np.asarray(b).T, rtol=1e-4, atol=1e-4)
+
+
+def test_retrieval_scores_matches_get_scores():
+    """losses.retrieval_scores (the eval/WER fast path) reproduces
+    ClipLoss.get_scores for the plain config, the bf16 config, and
+    falls back correctly for trim/transform configs."""
+    import jax
+    import jax.numpy as jnp
+
+    from brainmagick_tpu.losses import ClipLoss, retrieval_scores
+
+    rng = np.random.RandomState(0)
+    est = jnp.asarray(rng.randn(6, 8, 16).astype(np.float32))
+    cand = jnp.asarray(rng.randn(10, 8, 16).astype(np.float32))
+    base = dict(dset_tmin=-0.5, dset_sample_rate=120.)
+    variants = [dict(), dict(compute_dtype="bfloat16"),
+                dict(tmin=-0.45, tmax=-0.4), dict(linear=5),
+                dict(pool=True)]
+    for kw in variants:
+        clip = ClipLoss(**base, **kw)
+        params = clip.init(jax.random.PRNGKey(0), est, cand,
+                           method=clip.get_scores)
+        want = clip.apply(params, est, cand, method=clip.get_scores)
+        got = retrieval_scores(clip, params, est, cand)
+        rtol = 3e-2 if kw.get("compute_dtype") else 2e-5
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=rtol, atol=1e-4, err_msg=str(kw))
