@@ -87,7 +87,6 @@ def nt_matmul(a: jax.Array, b: jax.Array, interpret: bool = False,
         return fallback()
 
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     def kernel(a_ref, b_ref, out_ref):
         k = pl.program_id(1)
