@@ -325,6 +325,17 @@ def apply_preset(cfg: MainConfig, name: str) -> MainConfig:
         cfg.norm.clip = True
         cfg.task.type = "decode"
         cfg.task.offset_meg_ms = 150
+    elif name == "clip_conv_tpu":
+        # the paper recipe + the measured-fastest v5e execution knobs
+        # (doc/perf_playbook.md): bf16 MXU compute with fp32
+        # params/stats/softmax, bf16 CLIP score contraction, and the
+        # BatchNorm-cancelled conv biases elided (gradient-read cost
+        # only; function space identical — tests/test_models.py).
+        apply_preset(cfg, "clip_conv")
+        cfg.simpleconv.update(dtype="bfloat16", output_dtype="bfloat16",
+                              bn_conv_bias=False)
+        cfg.clip.compute_dtype = "bfloat16"
+        cfg.parallel.transfer_dtype = "bfloat16"
     elif name == "deep_mel":
         cfg.feature_model_name = "deep_mel"
         cfg.feature_model_params = dict(

@@ -209,3 +209,25 @@ def test_driver_entrypoints_importable():
         module = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(module)
         assert hasattr(module, "main") or hasattr(module, "entry")
+
+
+def test_clip_conv_tpu_preset():
+    """The TPU-tuned paper preset layers the measured v5e execution
+    knobs on top of the reference recipe without touching the
+    reference preset itself."""
+    from brainmagick_tpu.config import MainConfig, apply_preset
+
+    tpu = MainConfig()
+    apply_preset(tpu, "clip_conv_tpu")
+    assert tpu.simpleconv["hidden"] == 320          # paper recipe kept
+    assert tpu.optim.batch_size == 256
+    assert tpu.simpleconv["dtype"] == "bfloat16"
+    assert tpu.simpleconv["bn_conv_bias"] is False
+    assert tpu.clip.compute_dtype == "bfloat16"
+    assert tpu.parallel.transfer_dtype == "bfloat16"
+
+    ref = MainConfig()
+    apply_preset(ref, "clip_conv")
+    assert ref.simpleconv["bn_conv_bias"] is True
+    assert ref.clip.compute_dtype is None
+    assert tpu.sig != ref.sig
