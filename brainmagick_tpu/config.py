@@ -168,8 +168,11 @@ SIMPLECONV_DEFAULTS: tp.Dict[str, tp.Any] = dict(
     # behavior; sigs unchanged -- non-default deltas only):
     #   dtype='bfloat16'     full-rate MXU convs, fp32 params/stats
     #   output_dtype         estimate dtype (pair with clip bf16 scores)
-    #   output_layout='btc'  channels-last estimates (ClipLoss
-    #                        est_layout='btc' consumes them directly)
+    #   output_layout='btc'  channels-last model output; the solver
+    #                        transposes back to [B, F, T] at the model
+    #                        boundary (free — XLA folds it), so this is
+    #                        safe to set but only pays off for direct
+    #                        library use with ClipLoss(est_layout='btc')
     #   conv_impl            encoder conv lowering (see DotConv1D)
     #   bn_conv_bias=False   elide conv biases that BatchNorm cancels
     #                        (+2% step time, function space unchanged)

@@ -33,7 +33,8 @@ import pandas as pd
 
 from .dataset import ConcatDataset
 from .features.basic import stable_word_hash
-from .losses import ClipLoss, retrieval_scores
+from .losses import (ClipLoss, candidate_blocks, iter_device_groups,
+                     retrieval_scores)
 from .solver import Solver
 from .utils import write_and_rename
 
@@ -175,25 +176,16 @@ def build_probs(solver: Solver, preds: np.ndarray, trues: np.ndarray,
                         dset_sample_rate=dset_args.sample_rate)
     loss_params = {"params": solver.state["params"].get("loss", {})}
 
-    # candidates streamed through HBM in blocks (large pools don't fit
-    # on one chip at wav2vec dims); softmax over the full row on host.
-    # With a bf16 score path the blocks are stored in bf16 ONCE here —
-    # halves the host->device stream and the pool's HBM footprint
-    # (scoring itself is fastest in fp32 at these shapes, measured in
-    # scripts/bench_eval.py). get_scores' norms use the same cast
-    # values, so scores match the in-call cast exactly.
-    cand_dtype = (jnp.dtype(clip.compute_dtype)
-                  if clip.compute_dtype is not None else None)
+    # candidates streamed through HBM: host-side blocks (large pools do
+    # NOT fit on one chip at wav2vec dims — 20k candidates are 28 GB
+    # fp32), transferred in bounded device groups; each group is scored
+    # against every pred block before the next group lands, so the pool
+    # crosses the wire once per group sweep. Softmax over the full row
+    # happens on host once all columns exist. See losses.candidate_blocks
+    # for the bf16-pool trade-off.
     cand_block = 2048
     n_cand = len(trues)
-    cand_blocks = []
-    for lo in range(0, n_cand, cand_block):
-        block = trues[lo:lo + cand_block]
-        pad_c = cand_block - len(block)
-        if pad_c:
-            block = np.concatenate(
-                [block, np.zeros_like(block[:1]).repeat(pad_c, 0)])
-        cand_blocks.append(jnp.asarray(block, dtype=cand_dtype))
+    host_blocks = candidate_blocks(trues, clip.compute_dtype, cand_block)
 
     @jax.jit
     def block_scores(block, cand):
@@ -201,21 +193,25 @@ def build_probs(solver: Solver, preds: np.ndarray, trues: np.ndarray,
         # trim/transform configs) — losses.retrieval_scores
         return retrieval_scores(clip, loss_params, block, cand)
 
-    probs = np.zeros((len(preds), n_cand), dtype=np.float32)
-    for lo in range(0, len(preds), batch_size):
-        block = preds[lo:lo + batch_size]
-        pad = batch_size - len(block)
-        if pad:
-            block = np.concatenate([block, block[-1:].repeat(pad, 0)])
-        block_j = jnp.asarray(block)
-        scores = np.concatenate(
-            [np.asarray(block_scores(block_j, cand))
-             for cand in cand_blocks], axis=1)[:, :n_cand]
-        scores -= scores.max(axis=1, keepdims=True)
-        p = np.exp(scores)
-        p /= p.sum(axis=1, keepdims=True)
-        probs[lo:lo + batch_size] = p[:batch_size - pad]
-    return probs
+    scores = np.empty((len(preds), n_cand), dtype=np.float32)
+    for g0, dev_group in iter_device_groups(host_blocks):
+        for lo in range(0, len(preds), batch_size):
+            block = preds[lo:lo + batch_size]
+            pad = batch_size - len(block)
+            if pad:
+                block = np.concatenate([block, block[-1:].repeat(pad, 0)])
+            block_j = jnp.asarray(block)
+            for bi, cand in enumerate(dev_group):
+                c0 = (g0 + bi) * cand_block
+                c1 = min(c0 + cand_block, n_cand)
+                s = np.asarray(block_scores(block_j, cand))
+                scores[lo:lo + batch_size - pad, c0:c1] = \
+                    s[:batch_size - pad, :c1 - c0]
+        del dev_group
+    scores -= scores.max(axis=1, keepdims=True)
+    np.exp(scores, out=scores)
+    scores /= scores.sum(axis=1, keepdims=True)
+    return scores
 
 
 def accuracy_from_probs(probs: np.ndarray, target_labels: np.ndarray,

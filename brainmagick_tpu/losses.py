@@ -169,6 +169,45 @@ class ClipLoss(nn.Module):
         return -(diag * w).sum() / jnp.maximum(w.sum(), 1.0)
 
 
+def candidate_blocks(pool, compute_dtype: tp.Optional[str],
+                     block_size: int = 2048) -> tp.List:
+    """Zero-padded HOST-side candidate blocks in the score compute dtype.
+
+    Host-side (numpy) on purpose: committing every block to the device
+    would keep the whole pool resident in HBM — 10-20k wav2vec
+    candidates are 7-28 GB fp32, more than one chip — so callers
+    transfer a bounded group at a time (`iter_device_groups`). A bf16
+    compute dtype halves both the host->device stream and the resident
+    group; get_scores/retrieval_scores norms use the same cast values,
+    so scores match an in-call cast exactly.
+    """
+    import numpy as np
+    dtype = jnp.dtype(compute_dtype) if compute_dtype is not None else None
+    blocks = []
+    for lo in range(0, len(pool), block_size):
+        block = np.asarray(pool[lo:lo + block_size])
+        pad = block_size - len(block)
+        if pad:
+            block = np.concatenate(
+                [block, np.zeros_like(block[:1]).repeat(pad, 0)])
+        blocks.append(block.astype(dtype) if dtype is not None else block)
+    return blocks
+
+
+def iter_device_groups(blocks: tp.Sequence,
+                       budget_bytes: int = 4 << 30):
+    """Yield (first_block_index, [device arrays]) groups of candidate
+    blocks whose combined size stays under `budget_bytes` of HBM; each
+    group is transferred once and must be dropped by the caller before
+    the next iteration."""
+    if not blocks:
+        return
+    per = blocks[0].nbytes
+    group = max(1, int(budget_bytes // max(per, 1)))
+    for i in range(0, len(blocks), group):
+        yield i, [jnp.asarray(b) for b in blocks[i:i + group]]
+
+
 def retrieval_scores(clip: ClipLoss, params, estimates: jax.Array,
                      candidates: jax.Array) -> jax.Array:
     """No-grad scoring fast path for offline eval / WER.

@@ -281,9 +281,13 @@ class DotConv1D(nn.Module):
     dots in both the forward and backward pass. mode='concat'
     additionally merges the taps into ONE [B*T, k*C] x [k*C, O] dot —
     k*C = 960 pads to 1024 on the 128-lane MXU (94% tile utilization,
-    vs 83% for C = 320 -> 384). Parameter shapes/names match nn.Conv
-    (kernel [k, C, O], bias [O]) so either lowering loads the same
-    checkpoints.
+    vs 83% for C = 320 -> 384). Measured verdict: XLA's conv lowering
+    wins end-to-end (scripts/exp_conv_impl.py) — this stays as the
+    documented negative result. Parameter LEAF shapes/names match
+    nn.Conv (kernel [k, C, O], bias [O]), but the flax module path
+    differs (DotConv1D_i vs Conv_i), so loading a checkpoint across
+    conv_impl settings needs a key rename, not just shape parity
+    (tests/test_models.py maps keys explicitly).
     """
     features: int
     kernel: int
@@ -389,6 +393,7 @@ class ConvSequence(nn.Module):
                     padding=[(pad, pad)], use_bias=use_bias,
                     dtype=self.dtype)(x)
             elif (self.conv_impl != "conv" and self.stride == 1
+                  and self.kernel % 2 == 1
                   and (self.groups == 1 or k == 0)):
                 x = DotConv1D(chout, self.kernel, dilation=dilation,
                               mode=self.conv_impl, use_bias=use_bias,

@@ -350,6 +350,15 @@ class Solver:
             arrays["positions"], train=train, **model_kwargs,
             rngs={"dropout": rng}, mutable=mutable if mutable else False)
         estimate, mutated = out if mutable else (out, {})
+        if getattr(self.model, "output_layout", "bct") == "btc":
+            # normalize to the solver-wide [B, F, T] contract right at
+            # the model boundary (losses, metrics, WER/eval pools and
+            # process_batch all assume it). XLA folds this transpose
+            # into the downstream contraction — measured neutral
+            # (doc/perf_playbook.md) — so a config-set 'btc' model is
+            # safe; the layout knob pays off only for direct library
+            # use with ClipLoss(est_layout='btc') as in bench variants.
+            estimate = jnp.swapaxes(estimate, 1, 2)
         new_bs = dict(batch_stats)
         if "batch_stats" in mutated:
             new_bs["model"] = mutated["batch_stats"]

@@ -97,28 +97,22 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
     loss_params = {"params": solver.state["params"]["loss"]}
     clip = solver.clip_loss
 
-    # with a bf16 score path the fixed pool is stored in bf16 once —
-    # halves the host->device stream and the pool's HBM footprint
-    # (scripts/bench_eval.py); get_scores' norms use the same cast
-    # values, so scores match the in-call cast exactly
-    cand_dtype = (jnp.dtype(clip.compute_dtype)
-                  if clip.compute_dtype is not None else None)
+    # host-side blocks transferred in bounded device groups (committing
+    # every block would keep the whole pool resident in HBM — 10-20k
+    # wav2vec candidates are 7-28 GB, more than one chip); each group
+    # is scored against every estimate chunk before the next lands.
+    # See losses.candidate_blocks for the bf16-pool trade-off.
+    from .losses import candidate_blocks, iter_device_groups, \
+        retrieval_scores
     cand_block = 2048
     n_fixed = len(fixed_all)
-    fixed_blocks = []
-    for lo in range(0, n_fixed, cand_block):
-        block = fixed_all[lo:lo + cand_block]
-        pad_c = cand_block - len(block)
-        if pad_c:
-            block = np.concatenate([block, np.zeros_like(
-                block[:1]).repeat(pad_c, 0)])
-        fixed_blocks.append(jnp.asarray(block, dtype=cand_dtype))
+    host_blocks = candidate_blocks(fixed_all, clip.compute_dtype,
+                                   cand_block)
 
     @jax.jit
     def block_scores(est, cand):
         # Pallas blocked GEMM fast path (XLA einsum fallback for
         # trim/transform configs) — losses.retrieval_scores
-        from .losses import retrieval_scores
         return retrieval_scores(clip, loss_params, est, cand)
 
     @jax.jit
@@ -128,41 +122,53 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
                                     method=clip.get_scores)[0, 0]
         )(est, own)
 
-    def chunk_scores(est, own):
-        """[b, n_fixed + 1] softmax probabilities, scores accumulated in
-        candidate blocks (softmax on host over the full row)."""
-        parts = [np.asarray(block_scores(est, cand))
-                 for cand in fixed_blocks]
-        scores = np.concatenate(parts, axis=1)[:, :n_fixed]
-        own = np.asarray(own_scores_fn(est, own))[:, None]
-        scores = np.concatenate([scores, own], axis=1)
-        scores -= scores.max(axis=1, keepdims=True)
-        probs = np.exp(scores)
-        return probs / probs.sum(axis=1, keepdims=True)
-
-    topx = test_args.wer_topx
-    correct = 0.
-    correct_vocab = 0.
-    soft_correct = 0.
     # 256-row estimate blocks: the [B, F*T] x [block, F*T] contraction
     # runs 3.1x faster per pair at B=256 than the reference-style 64
     # (B=64 fills half an MXU tile; scripts/bench_eval.py M-sweep)
     chunk = 256
     n = len(estimates)
+
+    def padded_chunk(arr, lo):
+        part = arr[lo:lo + chunk]
+        pad = chunk - len(part)
+        if pad:
+            part = np.concatenate([part, part[-1:].repeat(pad, 0)])
+        return part, pad
+
+    # pass 1: fixed-pool scores, group-streamed through the device
+    scores = np.empty((n, n_fixed + 1), dtype=np.float32)
+    for g0, dev_group in iter_device_groups(host_blocks):
+        for lo in range(0, n, chunk):
+            est, pad = padded_chunk(estimates, lo)
+            est_j = jnp.asarray(est)
+            for bi, cand in enumerate(dev_group):
+                c0 = (g0 + bi) * cand_block
+                c1 = min(c0 + cand_block, n_fixed)
+                s = np.asarray(block_scores(est_j, cand))
+                scores[lo:lo + chunk - pad, c0:c1] = \
+                    s[:chunk - pad, :c1 - c0]
+        del dev_group
+    # pass 2: each row's own-output score fills the last column
+    for lo in range(0, n, chunk):
+        est, pad = padded_chunk(estimates, lo)
+        own, _ = padded_chunk(outputs, lo)
+        s = np.asarray(own_scores_fn(jnp.asarray(est), jnp.asarray(own)))
+        scores[lo:lo + chunk - pad, -1] = s[:chunk - pad]
+    scores -= scores.max(axis=1, keepdims=True)
+    np.exp(scores, out=scores)
+    scores /= scores.sum(axis=1, keepdims=True)
+
+    topx = test_args.wer_topx
+    correct = 0.
+    correct_vocab = 0.
+    soft_correct = 0.
     # the fixed negative pool is shared by every row: compute its vocab
     # grouping once (the reference re-runs unique per estimate,
     # bm/wer.py:102-104 — O(N log N) x n_estimates)
     vocab_f, inv_f = np.unique(fixed_hashes, return_inverse=True)
     for lo in range(0, n, chunk):
-        est = estimates[lo:lo + chunk]
-        own = outputs[lo:lo + chunk]
         wh = word_hashes[lo:lo + chunk]
-        pad = chunk - len(est)
-        if pad:
-            est = np.concatenate([est, est[-1:].repeat(pad, 0)])
-            own = np.concatenate([own, own[-1:].repeat(pad, 0)])
-        probas = np.asarray(chunk_scores(jnp.asarray(est),
-                                         jnp.asarray(own)))[:len(wh)]
+        probas = scores[lo:lo + len(wh)]
         hashes_row = np.concatenate([fixed_hashes, [0]])  # own filled per row
         for r in range(len(wh)):
             hashes_row[-1] = wh[r]

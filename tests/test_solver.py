@@ -159,3 +159,25 @@ def test_negative_sampling_fresh_per_batch():
     assert np.asarray(w1).all() and np.asarray(w2).all()
     assert not np.allclose(np.asarray(n1), np.asarray(n2)), \
         "consecutive batches drew identical negative pools"
+
+
+def test_output_layout_btc_normalized_at_solver_boundary(tmp_cache,
+                                                         tmp_path):
+    """A config-set simpleconv.output_layout='btc' must be safe: the
+    solver transposes the model output back to [B, F, T] at the model
+    boundary, so losses/WER/process_batch see the standard layout and
+    the per-batch loss matches the 'bct' model bit-for-bit up to fp
+    reordering."""
+    args = tiny_args(tmp_cache, tmp_path, epochs=1)
+    solver = bm_train.get_solver(args)
+    batch, pad_weight = next(iter(solver.loaders["train"]))
+    est, out, mask, keep = solver.process_batch(batch)
+
+    args2 = tiny_args(tmp_cache, tmp_path, epochs=1)
+    args2.simpleconv.update(output_layout="btc")
+    solver2 = bm_train.get_solver(args2)
+    # same params: the layout knob does not change the param tree
+    solver2.state["params"] = solver.state["params"]
+    est2, out2, mask2, keep2 = solver2.process_batch(batch)
+    assert est2.shape == est.shape  # [B, F, T] either way
+    np.testing.assert_allclose(est2, est, rtol=1e-4, atol=1e-4)
