@@ -101,3 +101,32 @@ def test_retrieval_scores_matches_get_scores():
         rtol = 3e-2 if kw.get("compute_dtype") else 2e-5
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=rtol, atol=1e-4, err_msg=str(kw))
+
+
+def test_candidate_blocks_and_device_groups():
+    """Host-side candidate blocking: zero-padded fixed-shape blocks in
+    the compute dtype, and bounded device groups (the streaming that
+    keeps 10-20k-candidate pools out of HBM)."""
+    import jax.numpy as jnp
+
+    from brainmagick_tpu.losses import candidate_blocks, iter_device_groups
+
+    pool = np.random.RandomState(0).randn(10, 4, 6).astype(np.float32)
+    blocks = candidate_blocks(pool, None, block_size=4)
+    assert [b.shape for b in blocks] == [(4, 4, 6)] * 3
+    assert all(isinstance(b, np.ndarray) for b in blocks)  # host-side
+    np.testing.assert_array_equal(blocks[2][2:], 0)  # zero padding
+    np.testing.assert_allclose(blocks[0], pool[:4])
+
+    b16 = candidate_blocks(pool, "bfloat16", block_size=4)
+    assert b16[0].dtype == jnp.bfloat16
+
+    # groups respect the byte budget: each block is 4*4*6*4 = 384 bytes
+    groups = list(iter_device_groups(blocks, budget_bytes=800))
+    assert [g0 for g0, _ in groups] == [0, 2]
+    assert [len(g) for _, g in groups] == [2, 1]
+    flat = np.concatenate([np.asarray(b) for _, g in groups for b in g])
+    np.testing.assert_allclose(flat[:10], pool)
+    # a budget smaller than one block still makes progress
+    tiny = list(iter_device_groups(blocks, budget_bytes=1))
+    assert [len(g) for _, g in tiny] == [1, 1, 1]
