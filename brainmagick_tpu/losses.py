@@ -210,7 +210,9 @@ def iter_device_groups(blocks: tp.Sequence,
 
 def retrieval_scores(clip: ClipLoss, params, estimates: jax.Array,
                      candidates: jax.Array) -> jax.Array:
-    """No-grad scoring fast path for offline eval / WER.
+    """No-grad scoring fast path for offline eval / WER
+    (bm/losses.py:77-97 math, as consumed by
+    scripts/run_eval_probs.py:267-307 and bm/wer.py:97-99).
 
     Same semantics as ``clip.get_scores`` (train=False) for the common
     configuration (no linear/pool/center/trim): candidate-norm-scaled

@@ -56,3 +56,34 @@ def test_accuracy_from_probs():
         == pytest.approx(2 / 3)
     assert bm_eval.accuracy_from_probs(probs, targets, vocab, topk=2) \
         == pytest.approx(1.0)
+
+
+def test_build_probs_streaming_is_exact():
+    """The group-streamed, block-padded score matrix equals the naive
+    [N_pred, N_true] computation (norm-scaled scores + row softmax),
+    including the tail block that is zero-padded on device."""
+    import types
+
+    from brainmagick_tpu.config import MainConfig
+    from brainmagick_tpu.losses import ClipLoss
+
+    rng = np.random.RandomState(0)
+    F, T = 6, 11
+    preds = rng.randn(7, F, T).astype(np.float32)
+    trues = rng.randn(5, F, T).astype(np.float32)  # < one 2048 block
+
+    args = MainConfig()
+    clip = ClipLoss(dset_tmin=args.dset.tmin,
+                    dset_sample_rate=args.dset.sample_rate)
+    solver = types.SimpleNamespace(
+        args=args, clip_loss=clip, state={"params": {}})
+    probs = bm_eval.build_probs(solver, preds, trues, batch_size=3)
+
+    flat_p = preds.reshape(len(preds), -1)
+    flat_t = trues.reshape(len(trues), -1)
+    inv = 1 / (1e-8 + np.linalg.norm(flat_t, axis=1))
+    scores = (flat_p @ flat_t.T) * inv[None, :]
+    scores -= scores.max(axis=1, keepdims=True)
+    want = np.exp(scores)
+    want /= want.sum(axis=1, keepdims=True)
+    np.testing.assert_allclose(probs, want, rtol=1e-4, atol=1e-5)
