@@ -148,7 +148,8 @@ class SegmentDataset:
         self.features_params = dict(features_params or {})
         self.features = FeaturesBuilder(
             events, features, features_params=self.features_params,
-            sample_rate=self.sample_rate, event_mask=event_mask)
+            sample_rate=self.sample_rate, event_mask=event_mask,
+            study=recording.study_name())
         self.blocks: tp.Optional[tp.List[tp.Tuple[float, float]]] = None
 
         self._start_offset = self.sample_rate.to_ind(tmin)

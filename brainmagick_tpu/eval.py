@@ -103,9 +103,10 @@ def load_test_data(solver: Solver, batch_size: tp.Optional[int] = None,
         features = test_features.extract_features(batch.features, used_names)
         extra_info, word_str, word_segs_str = _get_extra_info(
             batch, solver.args.dset.sample_rate)
-        preds, trues, _, keep = solver.process_batch(
-            batch.replace(features=features))
-        keep = keep & (pad_weight > 0)
+        # jitted forward, sharded over the mesh when one is set; keep
+        # folds in pad_weight
+        preds, trues, _, keep = solver.forward_batch(
+            batch.replace(features=features), pad_weight)
         if not keep.any():
             continue
         if "WordHash" in test_features:
@@ -187,6 +188,18 @@ def build_probs(solver: Solver, preds: np.ndarray, trues: np.ndarray,
     n_cand = len(trues)
     host_blocks = candidate_blocks(trues, clip.compute_dtype, cand_block)
 
+    # mesh-parallel scoring (see wer.py): pred rows sharded over the
+    # devices, candidate blocks replicated
+    rep_sharding = row_sharding = None
+    if solver.mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+        rep_sharding = NamedSharding(solver.mesh, P())
+        row_sharding = NamedSharding(solver.mesh,
+                                     P(solver.mesh.axis_names[0]))
+        d = solver.mesh.size
+        batch_size = max(d, batch_size // d * d)
+
     @jax.jit
     def block_scores(block, cand):
         # Pallas blocked GEMM fast path (XLA einsum fallback for
@@ -194,17 +207,23 @@ def build_probs(solver: Solver, preds: np.ndarray, trues: np.ndarray,
         return retrieval_scores(clip, loss_params, block, cand)
 
     scores = np.empty((len(preds), n_cand), dtype=np.float32)
-    for g0, dev_group in iter_device_groups(host_blocks):
+    for g0, dev_group in iter_device_groups(host_blocks,
+                                            sharding=rep_sharding):
         for lo in range(0, len(preds), batch_size):
             block = preds[lo:lo + batch_size]
             pad = batch_size - len(block)
             if pad:
                 block = np.concatenate([block, block[-1:].repeat(pad, 0)])
             block_j = jnp.asarray(block)
-            for bi, cand in enumerate(dev_group):
+            if row_sharding is not None:
+                block_j = jax.device_put(block_j, row_sharding)
+            # index into dev_group (no loop variable outliving the
+            # group — see wer.py: a leftover block ref would exceed
+            # the HBM budget while the next group transfers)
+            for bi in range(len(dev_group)):
                 c0 = (g0 + bi) * cand_block
                 c1 = min(c0 + cand_block, n_cand)
-                s = np.asarray(block_scores(block_j, cand))
+                s = np.asarray(block_scores(block_j, dev_group[bi]))
                 scores[lo:lo + batch_size - pad, c0:c1] = \
                     s[:batch_size - pad, :c1 - c0]
         del dev_group

@@ -126,9 +126,14 @@ class FeaturesBuilder(OrderedDict):
 
     _FEATURE_CLASSES: tp.Dict[str, tp.Type[Feature]] = {}
 
+    #: studies whose features may silently fall back to offline stand-ins
+    #: (hash embeddings, rule-based POS) when a model is missing on disk
+    _FALLBACK_STUDIES = ("fake", "fakeeeg")
+
     def __init__(self, events: pd.DataFrame, features: tp.Sequence[str],
                  features_params: tp.Optional[dict],
-                 sample_rate: Frequency, event_mask: bool = False) -> None:
+                 sample_rate: Frequency, event_mask: bool = False,
+                 study: tp.Optional[str] = None) -> None:
         super().__init__()
         features = list(features)
         self.features_params = dict(features_params or {})
@@ -146,6 +151,17 @@ class FeaturesBuilder(OrderedDict):
             options = ", ".join(sorted(available - set(features)))
             raise KeyError(f"Could not find feature(s): {missing}. "
                            f"Available: {options}") from e
+
+        # resolve each feature's offline-fallback permission: an explicit
+        # features_params.<name>.allow_fallback wins; otherwise fall back
+        # only for synthetic studies or direct library use (study=None,
+        # e.g. SentenceFeatures) — a real study with a missing embedding
+        # model must fail loudly, not train on hash embeddings
+        auto_allowed = (study is None
+                        or study in self._FALLBACK_STUDIES)
+        for feature in self.values():
+            if getattr(feature, "allow_fallback", False) is None:
+                feature.allow_fallback = auto_allowed
 
         event_kinds = {f.event_kind for f in self.values()}
         if self.event_mask:

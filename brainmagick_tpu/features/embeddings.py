@@ -10,6 +10,12 @@ when the model is available on local disk and otherwise falls back to a
 *deterministic hash embedding* (unit-normal vectors seeded by sha1 of the
 word) / a rule-based POS tagger — clearly logged, so pipelines stay
 runnable end-to-end and cache keys distinguish the two modes.
+
+The fallback is gated: `features_params.<Feature>.allow_fallback`
+controls it explicitly; when unset, FeaturesBuilder resolves it per
+study — allowed for the synthetic fake studies (and direct library use,
+e.g. SentenceFeatures), REFUSED for real studies so a disconnected host
+cannot silently train a real XP on hash embeddings.
 """
 
 from __future__ import annotations
@@ -47,6 +53,27 @@ def _try_spacy(lang: str):
     return None
 
 
+class MissingModelError(RuntimeError):
+    """A real study needs an embedding model that is not on local disk
+    and the hash-embedding fallback was not explicitly allowed."""
+
+
+def _check_fallback(feature: "Feature", what: str, instruction: str) -> None:
+    """Raise unless this feature may fall back (None = auto, resolved by
+    FeaturesBuilder per study; features_params.<name>.allow_fallback
+    always wins)."""
+    allowed = getattr(feature, "allow_fallback", None)
+    if allowed is None:
+        allowed = True  # direct library use (no study context)
+    if not allowed:
+        raise MissingModelError(
+            f"{feature.name}: {what} is not available on local disk and "
+            f"this is a real study, so the deterministic-fallback path "
+            f"is disabled. {instruction} Or opt into the fallback with "
+            f"dset.features_params.{feature.name}.allow_fallback=true "
+            f"(trains on hash embeddings — not the paper recipe).")
+
+
 def hash_embedding(word: str, dim: int) -> np.ndarray:
     """Deterministic unit-normal embedding of a word (offline fallback)."""
     seed = int.from_bytes(
@@ -62,9 +89,11 @@ class _WordEmbeddingBase(Feature):
     event_kind = "word"
     dimension = 300
 
-    def __init__(self, sample_rate: Frequency, lang: str = "auto") -> None:
+    def __init__(self, sample_rate: Frequency, lang: str = "auto",
+                 allow_fallback: tp.Optional[bool] = None) -> None:
         super().__init__(sample_rate)
         self.lang = lang
+        self.allow_fallback = allow_fallback
         self._nlp_cache = MemoryCache("spacy", self.__class__.__name__)
         self._warned = False
 
@@ -74,6 +103,10 @@ class _WordEmbeddingBase(Feature):
             vec = nlp(word).vector[:self.dimension]
             if vec.shape[0] == self.dimension and np.any(vec):
                 return np.asarray(vec, dtype=np.float32)
+        _check_fallback(
+            self, f"the spacy model for lang={language}",
+            f"Install it with `python -m spacy download "
+            f"{_SPACY_MODELS.get(language, language + '_core_news_md')}`.")
         if not self._warned:
             logger.warning(
                 "%s: no spacy model for lang=%s on disk; using "
@@ -137,9 +170,11 @@ class PartOfSpeech(Feature):
     cardinality = len(UPOS_TAGS) + 1
     event_kind = "word"
 
-    def __init__(self, sample_rate: Frequency, lang: str = "auto") -> None:
+    def __init__(self, sample_rate: Frequency, lang: str = "auto",
+                 allow_fallback: tp.Optional[bool] = None) -> None:
         super().__init__(sample_rate)
         self.lang = lang
+        self.allow_fallback = allow_fallback
         self._nlp_cache = MemoryCache("spacy", "pos")
         self._warned = False
 
@@ -149,6 +184,10 @@ class PartOfSpeech(Feature):
         if nlp is not None:
             tag = nlp(event.word)[0].pos_
         else:
+            _check_fallback(
+                self, f"the spacy model for lang={language}",
+                f"Install it with `python -m spacy download "
+                f"{_SPACY_MODELS.get(language, language + '_core_news_md')}`.")
             if not self._warned:
                 logger.warning("PartOfSpeech: no spacy model on disk; "
                                "using rule-based tagger.")
@@ -173,10 +212,11 @@ class _ContextualEmbeddingBase(Feature):
     #: renormalizes multi-token words by sqrt(n_tokens))
     token_pooling = "sum"
 
-    def __init__(self, sample_rate: Frequency,
-                 contextual: bool = True) -> None:
+    def __init__(self, sample_rate: Frequency, contextual: bool = True,
+                 allow_fallback: tp.Optional[bool] = None) -> None:
         super().__init__(sample_rate)
         self.contextual = contextual
+        self.allow_fallback = allow_fallback
         self._model_cache = MemoryCache(self.__class__.__name__, "model")
         self._seq_cache: tp.Dict[str, tp.Tuple[np.ndarray, np.ndarray]] = {}
         self._warned = False
@@ -245,6 +285,13 @@ class _ContextualEmbeddingBase(Feature):
         if not event.word:
             return np.zeros(self.dimension, dtype=np.float32)
         if self._model_cache.get(self._load) is None:
+            _check_fallback(
+                self, f"the {self.model_name} checkpoint",
+                f"Fetch it once on a connected machine with "
+                f"`python -c \"from transformers import AutoModel, "
+                f"AutoTokenizer; AutoModel.from_pretrained("
+                f"'{self.model_name}'); AutoTokenizer.from_pretrained("
+                f"'{self.model_name}')\"`.")
             if not self._warned:
                 logger.warning(
                     "%s: checkpoint %s not on local disk; using "
@@ -292,6 +339,7 @@ class XlmEmbedding(_ContextualEmbeddingBase):
     layers = None
     token_pooling = "sum_sqrt"
 
-    def __init__(self, sample_rate: Frequency,
-                 contextual: bool = False) -> None:
-        super().__init__(sample_rate, contextual=contextual)
+    def __init__(self, sample_rate: Frequency, contextual: bool = False,
+                 allow_fallback: tp.Optional[bool] = None) -> None:
+        super().__init__(sample_rate, contextual=contextual,
+                         allow_fallback=allow_fallback)

@@ -195,17 +195,26 @@ def candidate_blocks(pool, compute_dtype: tp.Optional[str],
 
 
 def iter_device_groups(blocks: tp.Sequence,
-                       budget_bytes: int = 4 << 30):
+                       budget_bytes: int = 4 << 30,
+                       sharding: tp.Optional[tp.Any] = None):
     """Yield (first_block_index, [device arrays]) groups of candidate
     blocks whose combined size stays under `budget_bytes` of HBM; each
     group is transferred once and must be dropped by the caller before
-    the next iteration."""
+    the next iteration. `sharding` places each block with an explicit
+    jax.sharding (mesh-parallel scoring replicates the candidate block
+    on every device while the estimate rows are sharded); the budget is
+    per device either way."""
     if not blocks:
         return
     per = blocks[0].nbytes
     group = max(1, int(budget_bytes // max(per, 1)))
+    if sharding is not None:
+        def put(b):
+            return jax.device_put(b, sharding)
+    else:
+        put = jnp.asarray
     for i in range(0, len(blocks), group):
-        yield i, [jnp.asarray(b) for b in blocks[i:i + group]]
+        yield i, [put(b) for b in blocks[i:i + group]]
 
 
 def retrieval_scores(clip: ClipLoss, params, estimates: jax.Array,

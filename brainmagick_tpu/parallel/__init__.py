@@ -68,3 +68,18 @@ def replicate(tree: tp.Any, mesh: Mesh) -> tp.Any:
     process on multi-host pods — each supplies the identical value)."""
     return jax.tree_util.tree_map(
         lambda v: shard_array(v, mesh, spec=PartitionSpec()), tree)
+
+
+def average_metrics_across_processes(metrics: tp.Dict[str, float]
+                                     ) -> tp.Dict[str, float]:
+    """Mean of each scalar metric over all processes (the reference's
+    flashy.distrib.average_metrics all-reduce, bm/wer.py:121,
+    bm/solver.py:395). Single process: identity."""
+    if jax.process_count() == 1:
+        return metrics
+    from jax.experimental import multihost_utils
+    keys = sorted(metrics)
+    vals = np.asarray([float(metrics[k]) for k in keys],
+                      dtype=np.float64)
+    gathered = np.asarray(multihost_utils.process_allgather(vals))
+    return dict(zip(keys, gathered.mean(axis=0).tolist()))

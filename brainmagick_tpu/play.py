@@ -65,8 +65,10 @@ def get_test_metrics(solver: Solver, trim_offset: int = 0,
                      datasets: tp.Optional[tp.List] = None
                      ) -> tp.Dict[str, tp.Any]:
     """Per-recording streaming metrics over the test set
-    (bm/play.py:88-175; the DDP sharding/broadcast machinery collapses —
-    a single host streams all recordings)."""
+    (bm/play.py:88-175; the DDP recording-sharding/broadcast machinery
+    collapses — a single host streams all recordings, and each forward
+    runs through the jitted mesh-sharded `solver.forward_batch`, so
+    with a mesh every device works the test stage)."""
     test_datasets = datasets or solver.datasets.test.datasets
     order = list(range(len(test_datasets)))
     random.shuffle(order)
@@ -81,9 +83,8 @@ def get_test_metrics(solver: Solver, trim_offset: int = 0,
         loader = solver.make_loader(recording_dset)
         metrics = [ctor() for ctor in metrics_constructor]
         for batch, pad_weight in loader:
-            valid = pad_weight > 0
-            estimate, gt, features_mask, keep = solver.process_batch(batch)
-            keep = keep & valid
+            estimate, gt, features_mask, keep = solver.forward_batch(
+                batch, pad_weight)
             if not keep.any():
                 continue
             estimate = estimate[keep][..., trim_offset:]

@@ -114,6 +114,15 @@ class Solver:
         #: (set_mesh); None = single device
         self.mesh = None
         self.negative_pool = {name: None for name in ("train", "valid")}
+        # resolved at construction, NOT written back into args: the XP
+        # sig derives from the config delta, and a restore that
+        # recomputes delta() must see the launched config unchanged
+        # (reference default: pool of 2x the negatives)
+        n_neg = args.optim.negatives
+        self.negative_pool_size = (
+            args.optim.negative_pool_size
+            if args.optim.negative_pool_size is not None
+            else (2 * n_neg if n_neg else None))
         self._neg_rng = np.random.RandomState(args.seed)
         self._jit_cache: tp.Dict[tp.Any, tp.Any] = {}
 
@@ -595,8 +604,6 @@ class Solver:
                     "supported: the sampled pool must be identical on "
                     "every process for the replicated candidate "
                     "sharding to be well-defined.")
-            if args.optim.negative_pool_size is None:
-                args.optim.negative_pool_size = 2 * n_neg
 
         step = self._build_step(training and self.optimizer is not None,
                                 with_negatives,
@@ -719,7 +726,7 @@ class Solver:
         return feat_dim
 
     def _update_negative_pool(self, phase: str, outputs: np.ndarray) -> None:
-        pool_size = self.args.optim.negative_pool_size
+        pool_size = self.negative_pool_size
         buf = self.negative_pool[phase]
         buf = outputs if buf is None else np.concatenate([outputs, buf])
         self.negative_pool[phase] = buf[:pool_size]
@@ -822,19 +829,63 @@ class Solver:
 
     # -- inference ---------------------------------------------------------------
 
+    def _build_forward(self, training: bool):
+        """Jitted inference forward (no loss): (params, batch_stats,
+        arrays, na, pad_weight, rng) -> (estimate, output, mask, keep).
+
+        One compiled function serves both the single-device and the
+        mesh case: the batch arrays arrive committed with their
+        sharding (batch-sharded under a mesh) and XLA partitions the
+        purely batch-wise forward SPMD over the devices — the test
+        stage (WER / streaming metrics / offline eval) keeps every
+        chip busy, where the reference shards test batches by DDP rank
+        (bm/wer.py:36-37, bm/play.py:120-124)."""
+        key = ("forward", training)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        def fwd(params, batch_stats, arrays, na, pad_weight, rng):
+            estimate, output, mask, keep, _, _ = self._forward(
+                params, batch_stats, arrays, na, pad_weight, rng,
+                train=training)
+            return estimate, output, mask, keep
+
+        jitted = jax.jit(fwd)
+        self._jit_cache[key] = jitted
+        return jitted
+
+    def forward_batch(self, batch: SegmentBatch,
+                      pad_weight: tp.Optional[np.ndarray] = None,
+                      training: bool = False
+                      ) -> tp.Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                    np.ndarray]:
+        """Jitted host-facing forward; `keep` already folds in the
+        loader's pad_weight. Under a mesh the batch is sharded over the
+        devices; on multi-host pods each process receives only its own
+        rows back (reference per-rank semantics, bm/play.py:120-124)."""
+        arrays = batch.to_device()
+        if pad_weight is None:
+            pad_w = jnp.ones(len(batch), dtype=jnp.float32)
+        else:
+            pad_w = jnp.asarray(np.asarray(pad_weight, dtype=np.float32))
+        if self.mesh is not None:
+            from .parallel import shard_array, shard_batch
+            arrays = shard_batch(arrays, self.mesh)
+            pad_w = shard_array(pad_w, self.mesh)
+        fwd = self._build_forward(training)
+        estimate, output, mask, keep = fwd(
+            self.state["params"], self.state["batch_stats"], arrays,
+            self.norm_arrays, pad_w, jax.random.PRNGKey(0))
+        return (_addressable_rows(estimate), _addressable_rows(output),
+                _addressable_rows(mask), _addressable_rows(keep) > 0.5)
+
     def process_batch(self, batch: SegmentBatch, training: bool = False
                       ) -> tp.Tuple[np.ndarray, np.ndarray, np.ndarray,
                                     np.ndarray]:
         """Host-facing _process_batch: returns (estimate, output,
-        features_mask, keep) as numpy (bm/solver.py:230-321 parity)."""
-        arrays = batch.to_device()
-        pad_weight = jnp.ones(len(batch), dtype=jnp.float32)
-        rng = jax.random.PRNGKey(0)
-        estimate, output, mask, keep, _, _ = self._forward(
-            self.state["params"], self.state["batch_stats"], arrays,
-            self.norm_arrays, pad_weight, rng, train=training)
-        return (np.asarray(estimate), np.asarray(output), np.asarray(mask),
-                np.asarray(keep) > 0.5)
+        features_mask, keep) as numpy (bm/solver.py:230-321 parity).
+        Routed through the jitted (mesh-aware) forward."""
+        return self.forward_batch(batch, training=training)
 
     def predict(self, meg: tp.Optional[np.ndarray] = None,
                 features: tp.Optional[np.ndarray] = None,

@@ -11,6 +11,14 @@ TPU-native: scoring is chunked on device — scores for a block of
 estimates against the shared negative pool are one einsum; the
 per-estimate own-output column is appended so each row's softmax matches
 the reference's negatives[-1]-replacement exactly.
+
+Mesh-parallel: with `solver.set_mesh(...)`, both the test-set forward
+passes (solver.forward_batch shards the batch over the mesh) and the
+scoring contractions (estimate rows sharded, candidate blocks
+replicated) run SPMD over every device — the reference instead shards
+test batches by DDP rank (bm/wer.py:36-37) and averages the metrics
+across ranks (bm/wer.py:121); multi-process meshes average the final
+metrics the same way here.
 """
 
 from __future__ import annotations
@@ -63,12 +71,13 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
     hash_slice = test_features.get_slice("WordHash")
     used_names = list(solver.used_features.keys())
     for batch, pad_weight in loader:
-        valid = pad_weight > 0
         word_hash = batch.features[:, hash_slice][:, 0]
         features = test_features.extract_features(batch.features, used_names)
-        estimate, output, _, keep = solver.process_batch(
-            batch.replace(features=features))
-        keep = keep & valid
+        # jitted forward, sharded over the mesh when one is set; keep
+        # folds in pad_weight (no eager single-device process_batch in
+        # the test stage)
+        estimate, output, _, keep = solver.forward_batch(
+            batch.replace(features=features), pad_weight)
         if keep.any():
             estimates_list.append(estimate[keep])
             outputs_list.append(output[keep])
@@ -77,8 +86,12 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
     outputs = np.concatenate(outputs_list)
     word_hashes = np.concatenate(hashes_list).astype(np.int64)
 
+    # seeded from the XP config (the reference uses an unseeded randperm,
+    # bm/wer.py:74 — here two identical runs must report identical
+    # wer/wer_vocab so grid comparisons are exact)
+    rng = np.random.RandomState(args.seed % (2 ** 31))
     if test_args.wer_negatives:
-        perm = np.random.permutation(len(outputs))
+        perm = rng.permutation(len(outputs))
         kept = perm[:test_args.wer_negatives]
         negatives, negative_hashes = outputs[kept], word_hashes[kept]
     else:
@@ -86,7 +99,7 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
     logger.info("wer: %d negatives selected", len(negatives))
 
     if test_args.wer_random:
-        estimates = np.random.randn(*estimates.shape).astype(np.float32)
+        estimates = rng.randn(*estimates.shape).astype(np.float32)
 
     # the estimate's own output replaces the last negative -> the fixed
     # pool is negatives[:-1] and each row gets its own extra column.
@@ -109,6 +122,23 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
     host_blocks = candidate_blocks(fixed_all, clip.compute_dtype,
                                    cand_block)
 
+    # mesh-parallel scoring: estimate rows sharded over the devices,
+    # candidate blocks replicated — every chip scores its row slice of
+    # the [chunk, cand_block] contraction
+    rep_sharding = row_sharding = None
+    if solver.mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+        rep_sharding = NamedSharding(solver.mesh, P())
+        row_sharding = NamedSharding(solver.mesh,
+                                     P(solver.mesh.axis_names[0]))
+
+    def commit_rows(arr):
+        x = jnp.asarray(arr)
+        if row_sharding is not None:
+            x = jax.device_put(x, row_sharding)
+        return x
+
     @jax.jit
     def block_scores(est, cand):
         # Pallas blocked GEMM fast path (XLA einsum fallback for
@@ -126,6 +156,10 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
     # runs 3.1x faster per pair at B=256 than the reference-style 64
     # (B=64 fills half an MXU tile; scripts/bench_eval.py M-sweep)
     chunk = 256
+    if solver.mesh is not None:
+        # row-sharded chunks must divide evenly over the mesh
+        d = solver.mesh.size
+        chunk = max(d, chunk // d * d)
     n = len(estimates)
 
     def padded_chunk(arr, lo):
@@ -137,14 +171,18 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
 
     # pass 1: fixed-pool scores, group-streamed through the device
     scores = np.empty((n, n_fixed + 1), dtype=np.float32)
-    for g0, dev_group in iter_device_groups(host_blocks):
+    for g0, dev_group in iter_device_groups(host_blocks,
+                                            sharding=rep_sharding):
         for lo in range(0, n, chunk):
             est, pad = padded_chunk(estimates, lo)
-            est_j = jnp.asarray(est)
-            for bi, cand in enumerate(dev_group):
+            est_j = commit_rows(est)
+            # index into dev_group (no loop variable outliving the
+            # group: a leftover block ref would keep ~2 GB resident
+            # while the next group lands, exceeding the HBM budget)
+            for bi in range(len(dev_group)):
                 c0 = (g0 + bi) * cand_block
                 c1 = min(c0 + cand_block, n_fixed)
-                s = np.asarray(block_scores(est_j, cand))
+                s = np.asarray(block_scores(est_j, dev_group[bi]))
                 scores[lo:lo + chunk - pad, c0:c1] = \
                     s[:chunk - pad, :c1 - c0]
         del dev_group
@@ -152,7 +190,7 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
     for lo in range(0, n, chunk):
         est, pad = padded_chunk(estimates, lo)
         own, _ = padded_chunk(outputs, lo)
-        s = np.asarray(own_scores_fn(jnp.asarray(est), jnp.asarray(own)))
+        s = np.asarray(own_scores_fn(commit_rows(est), commit_rows(own)))
         scores[lo:lo + chunk - pad, -1] = s[:chunk - pad]
     scores -= scores.max(axis=1, keepdims=True)
     np.exp(scores, out=scores)
@@ -192,4 +230,8 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
     correct /= n
     correct_vocab /= n
     soft_correct /= n
-    return {"wer": 1 - correct, "wer_vocab": 1 - correct_vocab}
+    metrics = {"wer": 1 - correct, "wer_vocab": 1 - correct_vocab}
+    # multi-process pods: every process computed metrics over its own
+    # rows — average them like the reference's all-reduce (bm/wer.py:121)
+    from .parallel import average_metrics_across_processes
+    return average_metrics_across_processes(metrics)

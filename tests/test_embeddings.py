@@ -128,3 +128,57 @@ def test_offline_fallback_is_deterministic(monkeypatch):
     b = feat.get(_word("cat", 0, "cat ran"))
     np.testing.assert_array_equal(a, b)  # hash fallback is per-word
     assert a.shape == (768,)
+
+
+def test_fallback_refused_for_real_studies(monkeypatch):
+    """FeaturesBuilder on a real study + missing model must error out
+    loudly instead of silently training on hash embeddings; fake
+    studies and an explicit allow_fallback=true keep working."""
+    import pandas as pd
+
+    from brainmagick_tpu.cache import MemoryCache
+    from brainmagick_tpu.features.base import FeaturesBuilder
+
+    events = pd.DataFrame([dict(
+        kind="word", start=0.0, duration=0.2, word="cat", word_index=0,
+        word_sequence="cat", modality="audio", language="english")])
+    word = _word("cat", 0, "cat")
+
+    def fresh(feat):
+        monkeypatch.setattr(feat, "_load", lambda: None, raising=False)
+        monkeypatch.setattr(
+            feat, "_model_cache",
+            MemoryCache("test-guard-bert", "model"), raising=False)
+        monkeypatch.setattr(
+            feat, "_nlp_cache",
+            MemoryCache("test-guard-nlp", "model"), raising=False)
+        return feat
+
+    # real study, auto-resolved: refused
+    builder = FeaturesBuilder(events, ["BertEmbedding"], None,
+                              Frequency(50), study="gwilliams2022")
+    with pytest.raises(emb.MissingModelError, match="allow_fallback"):
+        fresh(builder["BertEmbedding"]).get(word)
+
+    # fake study: allowed
+    builder = FeaturesBuilder(events, ["BertEmbedding"], None,
+                              Frequency(50), study="fake")
+    out = fresh(builder["BertEmbedding"]).get(word)
+    assert out.shape == (768,)
+
+    # real study with the explicit opt-in: allowed
+    builder = FeaturesBuilder(
+        events, ["BertEmbedding"],
+        {"BertEmbedding": {"allow_fallback": True}},
+        Frequency(50), study="gwilliams2022")
+    out = fresh(builder["BertEmbedding"]).get(word)
+    assert out.shape == (768,)
+
+    # spacy-backed features obey the same gate
+    for name in ("WordEmbedding", "PartOfSpeech"):
+        builder = FeaturesBuilder(events, [name], None, Frequency(50),
+                                  study="schoffelen2019")
+        feat = fresh(builder[name])
+        monkeypatch.setattr(emb, "_try_spacy", lambda lang: None)
+        with pytest.raises(emb.MissingModelError, match="spacy"):
+            feat.get(word)

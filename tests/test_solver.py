@@ -133,9 +133,12 @@ def test_negative_pool(tmp_cache, tmp_path):
     args.optim.negatives = 16          # > batch_size 8
     solver = bm_train.get_solver(args)
     assert args.optim.negative_pool_size is None
+    # default pool size = 2 * negatives, resolved at construction
+    assert solver.negative_pool_size == 32
     best = solver.train()
-    # default pool size = 2 * negatives, set on first use
-    assert args.optim.negative_pool_size == 32
+    # the config is never mutated mid-run: a restore recomputing the
+    # delta must see the launched config (VERDICT r2 weak #6)
+    assert args.optim.negative_pool_size is None
     pool = solver.negative_pool["train"]
     assert pool is not None and 0 < len(pool) <= 32
     assert np.isfinite(best)
