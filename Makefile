@@ -16,7 +16,13 @@ bench:
 dryrun:
 	XLA_FLAGS=--xla_force_host_platform_device_count=8 python __graft_entry__.py dryrun 8
 
-.PHONY: default tests fast lint bench dryrun
+# full-architecture dress rehearsal of the 41% protocol: synthetic
+# KIT-.con gwilliams study -> grid runner -> paper-size training ->
+# offline eval -> paper tables (~10 min on a 1-core host)
+rehearsal:
+	BM_REHEARSAL=1 python -m pytest tests/test_rehearsal.py -q -s
+
+.PHONY: default tests fast lint bench dryrun rehearsal
 
 verify:
 	rm -rf /tmp/vfy && mkdir -p /tmp/vfy/fake_cache

@@ -1,182 +1,207 @@
-"""Benchmark: flagship train-step throughput on the paper configuration.
+"""Benchmark: SHIPPED train-step throughput on the paper configuration.
 
-Runs the FULL jitted training step (normalization + clamp + meg offset +
-SimpleConv paper architecture + CLIP loss + grads + adam update) on
-synthetic data at the paper's shapes: batch 256, 273 sensors, 361
-samples (3s @ 120Hz), wav2vec-dim 1024 targets, and reports
-samples/sec/chip.
+Times the solver's own jitted training step — `Solver._build_step(
+train=True)` on a fake-study Solver — at the paper's shapes: batch 256,
+273 sensors, 361 samples (3s @ 120Hz), 1024-dim wav2vec-shaped targets
+(clip_conv_tpu preset: bf16 MXU compute, Pallas normalize/clamp/peak
+gather, feature normalization, task wiring, keep/pad-weight accounting,
+CLIP loss, grads, adam). Earlier rounds timed a hand-rolled simplified
+step (kept as scripts/bench_handrolled.py); the spread between the two
+is the cost of the real pipeline's bookkeeping.
+
+The 1024-dim target uses a bench-local Feature (deterministic per-word
+unit-normal vectors, the same shape/statistics as the wav2vec embedding
+track) so the whole dataset->scaler->solver->step path is the shipped
+one without needing wav2vec weights in this container.
 
 vs_baseline: the reference publishes no throughput numbers
-(BASELINE.md). The baseline used here is an analytic estimate of the
-reference's per-GPU V100 throughput for the same recipe: ~20 GFLOP per
-sample per training step (fwd+bwd of the depth-10/320ch dilated-GLU
-stack, merger attention and complex head) at ~30% fp32 utilization of a
-V100 (14 TFLOP/s) => ~200 samples/sec/GPU.
+(BASELINE.md). The baseline is an analytic estimate of the reference's
+per-GPU V100 throughput for the same recipe: ~20 GFLOP per sample per
+training step at ~30% fp32 utilization of a V100 (14 TFLOP/s)
+=> ~200 samples/sec/GPU.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+from pathlib import Path
 
 REFERENCE_SAMPLES_PER_SEC = 200.0  # analytic V100 estimate, see docstring
 
 # v5e bf16 peak: 197 TFLOP/s per chip
 V5E_BF16_PEAK_FLOPS = 197e12
 
-# Analytic fallback when the backend exposes no cost analysis, in GFLOP
-# per sample per TRAIN step (fwd+bwd ~= 3x fwd). Forward per sample at
-# T~343: dilated conv stack 2*T*H*H*k per layer (5 plain + 5 GLU-doubled
-# layers) ~3.2G, merger scores 2*C*O*D/sample-free + mix ~0.4G,
-# initial/subject linears ~0.1G, complex head 2*T*(H*2F + 2F*F) ~0.95G,
-# clip scores 2*B*F*T ~0.18G => ~4.8 GFLOP fwd, ~14.4 GFLOP train step.
+# Analytic fallback when the backend exposes no cost analysis (see
+# scripts/bench_handrolled.py for the derivation)
 _ANALYTIC_GFLOP_PER_SAMPLE = 14.4
 
+#: BM_BENCH_TINY=1 shrinks model/batch to smoke-test the harness on CPU
+TINY = bool(os.environ.get("BM_BENCH_TINY"))
+B = 8 if TINY else 256
+CHUNK = 2 if TINY else 16
 
-def main() -> None:
-    import os
 
+def _enable_compile_cache() -> None:
     import jax
-
-    # persistent compilation cache: remote compiles on the relayed TPU
-    # take minutes; cache them across runs
+    if os.environ.get("BM_BENCH_CPU"):
+        # smoke-test the harness without the TPU relay (this container
+        # pre-imports jax pinned to the axon platform, so a plain
+        # JAX_PLATFORMS env var set at shell level is too late)
+        jax.config.update("jax_platforms", "cpu")
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                os.path.expanduser("~/.cache/jax_comp"))
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    import jax.numpy as jnp
+
+def _register_bench_feature() -> None:
+    """A 1024-dim word feature shaped like the wav2vec embedding track.
+
+    Deterministic (sha1-seeded per word) so the feature-track/scaler
+    caches stay valid across runs; statistics are unit-normal like a
+    standardized embedding, so the scaler and CLIP loss see realistic
+    values. Defined at module level: the scaler cache pickles the
+    fitted BatchScaler, which references the feature class."""
+    import hashlib
+
     import numpy as np
-    import optax
 
-    from brainmagick_tpu.losses import ClipLoss
-    from brainmagick_tpu.models import SimpleConv
+    from brainmagick_tpu.features.base import Feature, FeaturesBuilder
 
-    B, C, T, OUT = 256, 273, 361, 1024
-    N_SUBJECTS = 32
-    OFFSET = 18  # 150ms @ 120Hz (task.offset_meg_ms)
+    if "BenchW2VTarget" in FeaturesBuilder._FEATURE_CLASSES:
+        return
 
-    model = SimpleConv(
-        in_channels=dict(meg=C), out_channels=OUT, hidden=dict(meg=320),
-        depth=10, kernel_size=3, dilation_period=5, skip=True,
-        subject_layers=True, subject_dim=0, complex_out=True, glu=2,
-        glu_context=1, merger=True, merger_channels=270,
-        merger_pos_dim=2048, initial_linear=270, gelu=True,
-        batch_norm=True, n_subjects=N_SUBJECTS, dtype="bfloat16",
-        output_dtype="bfloat16",
-        # encoder conv biases are cancelled exactly by the BatchNorm
-        # that follows them; their gradients cost a full cotangent read
-        # per layer (+2% step time measured) — elide them
-        bn_conv_bias=False)
-    clip = ClipLoss(dset_tmin=-0.5, dset_sample_rate=120.,
-                    compute_dtype="bfloat16")
+    global BenchW2VTarget
 
-    rng = np.random.RandomState(0)
-    N_REC = 8  # distinct recordings per batch (solver's real shape)
-    meg = jnp.asarray(rng.randn(B, C, T).astype(np.float32))
-    features = jnp.asarray(rng.randn(B, OUT, T).astype(np.float32))
-    subjects = jnp.asarray(rng.randint(0, N_SUBJECTS, B))
-    rec_index = jnp.asarray(rng.randint(0, N_REC, B))
-    rec_positions = jnp.asarray(rng.rand(N_REC, C, 2).astype(np.float32))
-    positions = rec_positions[rec_index]
+    class BenchW2VTarget(Feature):
+        event_kind = "word"
+        dimension = 1024
 
-    # positions are per-recording constants: the merger scores per
-    # RECORDING (R softmax rows, no [B, C, 2048] gather) exactly like
-    # the solver's train step (solver._pos_emb_table / ChannelMerger)
-    from brainmagick_tpu.models.common import fourier_emb
-    pos_emb = fourier_emb(rec_positions, 2048)
+        def get(self, event):
+            seed = int.from_bytes(
+                hashlib.sha1(str(event.word).encode()).digest()[:4],
+                "little")
+            rng = np.random.RandomState(seed)
+            return rng.randn(self.dimension).astype(np.float32)
 
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        dict(meg=meg), subjects, positions, train=False)
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", {})
-    tx = optax.adam(3e-4)
-    opt_state = tx.init(params)
+    BenchW2VTarget.__qualname__ = "BenchW2VTarget"
+    BenchW2VTarget.__module__ = __name__
 
-    def train_step(params, batch_stats, opt_state, meg, features,
-                   subjects, positions, pos_emb, rng):
-        # pos_emb travels as an argument: closing over a large
-        # embedding table would bake it into the compiled HLO as a
-        # constant (the remote compiler rejects oversized payloads)
-        meg_in = jnp.clip(meg, -20., 20.)[..., OFFSET:]
-        target = features[..., :-OFFSET]
 
-        def loss_fn(params):
-            out, mutated = model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                dict(meg=meg_in), subjects, positions, train=True,
-                pos_emb=pos_emb, rec_index=rec_index,
-                rec_positions=rec_positions,
-                rngs={"dropout": rng}, mutable=["batch_stats"])
-            loss = clip.apply({}, out, target, train=True)
-            return loss, mutated["batch_stats"]
+def build_solver():
+    """Fake-study Solver with the clip_conv_tpu paper recipe at paper
+    shapes (the fake study's 273 sensors are already padded paper
+    width; targets are 1024-dim)."""
+    from brainmagick_tpu import train as bm_train
+    from brainmagick_tpu.config import MainConfig, apply_preset
+    from brainmagick_tpu.env import env
 
-        (loss, new_bs), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, new_bs, opt_state, loss
+    _register_bench_feature()
 
-    step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+    cache = Path(os.environ.get(
+        "BM_BENCH_CACHE",
+        os.path.expanduser("~/.cache/bm_bench"))) / "fake_cache"
+    cache.mkdir(parents=True, exist_ok=True)
 
-    # the timed region runs CHUNK steps inside one jitted fori_loop: a
-    # single dispatch measures pure device throughput — on this
-    # container the host drives the chip through an HTTP relay, so
+    args = MainConfig()
+    apply_preset(args, "clip_conv_tpu")
+    args.cache = str(cache)
+    args.out_dir = str(cache.parent / "outputs")
+    args.num_workers = 2
+    args.dset.selections = ["fake"]
+    args.dset.n_recordings = 4
+    args.dset.features = ["BenchW2VTarget"]
+    args.dset.features_params = {}
+    args.dset.min_n_blocks_per_split = 1
+    if TINY:
+        args.optim.batch_size = B
+        args.simpleconv.update(
+            hidden=24, depth=2, dilation_period=2, merger_channels=16,
+            merger_pos_dim=32, initial_linear=16)
+    # paper recipe already set by the preset: batch 256, sr 120,
+    # tmin/tmax -0.5/2.5 (T=361), offset_meg_ms 150, bf16 knobs
+
+    env_ctx = env.temporary(cache=cache)
+    env_ctx.__enter__()
+    solver = bm_train.get_solver(args)
+    return solver, args
+
+
+def main() -> None:
+    import jax
+
+    _enable_compile_cache()
+
+    import jax.numpy as jnp
+
+    t_build = time.perf_counter()
+    solver, args = build_solver()
+    print(f"# solver built in {time.perf_counter() - t_build:.1f}s",
+          file=sys.stderr, flush=True)
+
+    # one full-size train batch, committed to the device once — the
+    # timed region must not include host->device transfer (this
+    # container's relay moves ~30 MB/s; production hosts stream PCIe)
+    loader = solver.loaders["train"]
+    batch, pad_weight = next(iter(loader))
+    assert len(batch) == B, (len(batch), B)
+    arrays = batch.to_device(args.parallel.transfer_dtype)
+    pad_w = jnp.asarray(pad_weight)
+    na = solver.norm_arrays
+
+    # the SHIPPED step (normalize/clamp/peak gather, task wiring, model,
+    # CLIP, grads, adam, keep accounting), CHUNK iterations inside one
+    # jitted fori_loop: a single dispatch measures device throughput —
     # per-step python dispatch would bill relay latency to the TPU
-    # (production hosts dispatch locally at microseconds)
-    CHUNK = 16
+    raw_step = solver._build_step(train=True, with_negatives=False,
+                                  return_output=False, jit=False)
 
-    def train_chunk(params, batch_stats, opt_state, meg, features,
-                    subjects, positions, pos_emb, key):
+    def train_chunk(state, arrays, na, pad_w, key):
         def body(i, carry):
-            params, batch_stats, opt_state, _ = carry
-            return train_step(params, batch_stats, opt_state, meg,
-                              features, subjects, positions, pos_emb,
-                              jax.random.fold_in(key, i))
+            state, _ = carry
+            new_state, metrics = raw_step(
+                state, arrays, na, pad_w, None, None,
+                jax.random.fold_in(key, i))
+            return new_state, metrics["loss"]
         loss0 = jnp.zeros((), jnp.float32)
-        return jax.lax.fori_loop(
-            0, CHUNK, body, (params, batch_stats, opt_state, loss0))
+        return jax.lax.fori_loop(0, CHUNK, body, (state, loss0))
 
-    chunk = jax.jit(train_chunk, donate_argnums=(0, 1, 2))
+    chunk = jax.jit(train_chunk, donate_argnums=(0,))
 
     key = jax.random.PRNGKey(0)
-    # compile + warmup. NOTE: sync via a host transfer of the scalar loss
-    # — on this container's relayed-TPU backend block_until_ready is not
-    # a reliable barrier.
-    params, batch_stats, opt_state, loss = step(
-        params, batch_stats, opt_state, meg, features, subjects,
-        positions, pos_emb, key)
+    # compile + warmup. Sync via a host transfer of the scalar loss —
+    # on the relayed-TPU backend block_until_ready is not a reliable
+    # barrier.
+    t_compile = time.perf_counter()
+    state, loss = chunk(solver.state, arrays, na, pad_w, key)
     _ = float(loss)
-    params, batch_stats, opt_state, loss = chunk(
-        params, batch_stats, opt_state, meg, features, subjects,
-        positions, pos_emb, key)
-    _ = float(loss)
+    print(f"# chunk compile+warmup "
+          f"{time.perf_counter() - t_compile:.1f}s",
+          file=sys.stderr, flush=True)
 
     n_chunks = 3
     t0 = time.perf_counter()
     for k in range(n_chunks):
         key = jax.random.fold_in(key, k)
-        params, batch_stats, opt_state, loss = chunk(
-            params, batch_stats, opt_state, meg, features, subjects,
-            positions, pos_emb, key)
+        state, loss = chunk(state, arrays, na, pad_w, key)
     _ = float(loss)
     elapsed = time.perf_counter() - t0
     n_steps = n_chunks * CHUNK
 
     samples_per_sec = B * n_steps / elapsed
 
-    # MFU: prefer the compiler's own flop count; fall back to the
-    # analytic estimate (see _ANALYTIC_GFLOP_PER_SAMPLE derivation)
+    # MFU from the compiler's own flop count for the CHUNK-step loop
     step_flops = None
     try:
-        cost = step.lower(params, batch_stats, opt_state, meg, features,
-                          subjects, positions, pos_emb,
-                          key).compile().cost_analysis()
+        cost = chunk.lower(state, arrays, na, pad_w,
+                           key).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        step_flops = float(cost["flops"])
+        step_flops = float(cost["flops"]) / CHUNK
     except Exception:
         pass
     flops_source = "xla_cost_analysis"
@@ -187,7 +212,7 @@ def main() -> None:
     mfu = achieved / V5E_BF16_PEAK_FLOPS
 
     print(json.dumps({
-        "metric": "train_step_samples_per_sec_per_chip",
+        "metric": "shipped_train_step_samples_per_sec_per_chip",
         "value": round(samples_per_sec, 1),
         "unit": "samples/s",
         # the reference publishes NO throughput numbers; this ratio is

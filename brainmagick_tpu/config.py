@@ -176,8 +176,10 @@ SIMPLECONV_DEFAULTS: tp.Dict[str, tp.Any] = dict(
     #   conv_impl            encoder conv lowering (see DotConv1D)
     #   bn_conv_bias=False   elide conv biases that BatchNorm cancels
     #                        (+2% step time, function space unchanged)
+    #   fused_conv_bn=True  Pallas fused conv+BN-stats stack layers
+    #                        (see models.common.FusedConvBN)
     dtype=None, output_dtype=None, output_layout="bct", conv_impl="conv",
-    bn_conv_bias=True)
+    bn_conv_bias=True, fused_conv_bn=False)
 
 CONVRNN_DEFAULTS: tp.Dict[str, tp.Any] = dict(
     concatenate=False, depth=2, linear_out=False, complex_out=False,

@@ -104,14 +104,21 @@ def load_test_data(solver: Solver, batch_size: tp.Optional[int] = None,
         extra_info, word_str, word_segs_str = _get_extra_info(
             batch, solver.args.dset.sample_rate)
         # jitted forward, sharded over the mesh when one is set; keep
-        # folds in pad_weight
+        # folds in pad_weight. Multi-process meshes: only this
+        # process's rows come back — align the host metadata with them
+        rows = solver.local_rows(len(batch))
+        extra_info = extra_info[rows]
+        word_str = word_str[rows]
+        word_segs_str = word_segs_str[rows]
+        subject_index = np.asarray(batch.subject_index)[rows]
+        recording_index = np.asarray(batch.recording_index)[rows]
         preds, trues, _, keep = solver.forward_batch(
             batch.replace(features=features), pad_weight)
         if not keep.any():
             continue
         if "WordHash" in test_features:
             word_hash = batch.features[:, test_features.get_slice(
-                "WordHash")][:, 0]
+                "WordHash")][:, 0][rows]
         else:
             word_hash = np.vectorize(stable_word_hash)(word_str)
         word_hash = word_hash[keep]
@@ -147,10 +154,9 @@ def load_test_data(solver: Solver, batch_size: tp.Optional[int] = None,
         outs["seq_indices"].append(si.astype(np.int64))
         outs["word_strings"].append(ws)
         outs["word_segment_strings"].append(wseg)
-        outs["subject_id"].append(np.asarray(
-            batch.subject_index)[keep].astype(np.int64))
-        outs["recording_id"].append(np.asarray(
-            batch.recording_index)[keep].astype(np.int64))
+        outs["subject_id"].append(subject_index[keep].astype(np.int64))
+        outs["recording_id"].append(
+            recording_index[keep].astype(np.int64))
         study = "-".join(sorted({r.study_name() for r in batch._recordings}))
         outs["study"].append(np.array([study] * int(keep.sum())))
     return {k: np.concatenate(v, 0) for k, v in outs.items()}
@@ -189,9 +195,10 @@ def build_probs(solver: Solver, preds: np.ndarray, trues: np.ndarray,
     host_blocks = candidate_blocks(trues, clip.compute_dtype, cand_block)
 
     # mesh-parallel scoring (see wer.py): pred rows sharded over the
-    # devices, candidate blocks replicated
+    # devices, candidate blocks replicated; per-process local scoring
+    # on multi-process meshes (each process holds different rows)
     rep_sharding = row_sharding = None
-    if solver.mesh is not None:
+    if solver.mesh is not None and jax.process_count() == 1:
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
         rep_sharding = NamedSharding(solver.mesh, P())

@@ -287,7 +287,9 @@ class DotConv1D(nn.Module):
     nn.Conv (kernel [k, C, O], bias [O]), but the flax module path
     differs (DotConv1D_i vs Conv_i), so loading a checkpoint across
     conv_impl settings needs a key rename, not just shape parity
-    (tests/test_models.py maps keys explicitly).
+    (tests/test_models.py::test_dotconv_matches_nn_conv proves numeric
+    equality per lowering; ::test_conv_impl_checkpoint_key_rename
+    proves the Conv_i -> DotConv1D_i rename loads a checkpoint).
     """
     features: int
     kernel: int
@@ -324,6 +326,67 @@ class DotConv1D(nn.Module):
                               (self.features,))
             y = y + bias
         return y.astype(dt)
+
+
+class FusedConvBN(nn.Module):
+    """Dilated SAME conv (odd k, stride 1, bias elided — BatchNorm
+    cancels it) + BatchNorm in ONE device pass.
+
+    Training runs the Pallas fused conv+stats kernel
+    (ops/pallas_conv_bn.py): the per-channel batch sum / sum-of-squares
+    accumulate in the conv's epilogue, so XLA's separate stats
+    reduction never re-reads the [B, T, O] activation from HBM. Eval
+    uses the plain XLA conv with the running statistics. Parameter and
+    batch_stats LEAF names mirror nn.Conv ('kernel') and nn.BatchNorm
+    ('scale'/'bias'/'mean'/'var') but live under this module's path —
+    loading a checkpoint across the `fused_conv_bn` flag needs a key
+    re-map, like DotConv1D's conv_impl rename.
+    """
+    features: int
+    kernel: int
+    dilation: int = 1
+    eps: float = 1e-5
+    momentum: float = 0.99   # flax nn.BatchNorm default
+    dtype: tp.Any = None
+    impl: str = "auto"       # see ops.pallas_conv_bn.conv_stats
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        from ..ops.pallas_conv_bn import batch_mean_var, conv_stats
+        chin = x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.kernel, chin, self.features))
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,))
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda s: jnp.zeros(s, jnp.float32), (self.features,))
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda s: jnp.ones(s, jnp.float32), (self.features,))
+        dt = self.dtype if self.dtype is not None else x.dtype
+        if train and not self.is_initializing():
+            y, s, ss = conv_stats(x.astype(dt), w.astype(dt),
+                                  self.dilation, self.impl)
+            mean, var = batch_mean_var(s, ss, x.shape[0] * x.shape[1])
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1 - m) * mean
+            ra_var.value = m * ra_var.value + (1 - m) * var
+        else:
+            pad = (self.kernel // 2) * self.dilation
+            y = jax.lax.conv_general_dilated(
+                x.astype(dt), w.astype(dt), window_strides=(1,),
+                padding=[(pad, pad)], rhs_dilation=(self.dilation,),
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                preferred_element_type=jnp.float32).astype(dt)
+            mean, var = ra_mean.value, ra_var.value
+        # fp32 normalize (matches the ConvSequence BatchNorm path);
+        # XLA fuses this with the caller's GELU/residual
+        yn = ((y.astype(jnp.float32) - mean)
+              * jax.lax.rsqrt(var + self.eps) * scale + bias)
+        return yn.astype(dt)
 
 
 class ConvSequence(nn.Module):
@@ -366,6 +429,10 @@ class ConvSequence(nn.Module):
     #: keeps the reference's parameter structure (torch Conv1d defaults,
     #: bm/models/common.py:142-151).
     bn_conv_bias: bool = True
+    #: fuse conv + BatchNorm statistics into one Pallas pass for the
+    #: stride-1 odd-kernel stack layers (see FusedConvBN); changes the
+    #: param tree (FusedConvBN_i replaces Conv_i + BatchNorm_i)
+    fused_conv_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -387,11 +454,20 @@ class ConvSequence(nn.Module):
             has_bn = self.batch_norm and (self.activation_on_last
                                           or not is_last)
             use_bias = self.bn_conv_bias or not has_bn
+            fused_bn = (self.fused_conv_bn and has_bn and not self.decode
+                        and self.stride == 1 and self.kernel % 2 == 1
+                        and (self.groups == 1 or k == 0)
+                        and self.conv_impl == "conv")
             if self.decode:
                 x = nn.ConvTranspose(
                     chout, (self.kernel,), strides=(self.stride,),
                     padding=[(pad, pad)], use_bias=use_bias,
                     dtype=self.dtype)(x)
+            elif fused_bn:
+                # conv + BN statistics in one Pallas pass; normalize is
+                # emitted here so the GELU below fuses onto it
+                x = FusedConvBN(chout, self.kernel, dilation=dilation,
+                                dtype=self.dtype)(x, train=train)
             elif (self.conv_impl != "conv" and self.stride == 1
                   and self.kernel % 2 == 1
                   and (self.groups == 1 or k == 0)):
@@ -406,7 +482,7 @@ class ConvSequence(nn.Module):
                     use_bias=use_bias, dtype=self.dtype)(x)
             dilation *= self.dilation_growth
             if self.activation_on_last or not is_last:
-                if self.batch_norm:
+                if self.batch_norm and not fused_bn:
                     # stats + normalize in fp32 (measured: a bf16
                     # normalize path changes nothing on v5e — XLA
                     # already fuses the casts — so keep full precision)

@@ -103,6 +103,9 @@ class SimpleConv(nn.Module):
     #: encoder conv lowering: 'conv' (XLA; measured fastest on v5e) or
     #: 'dots'/'concat' shifted-matmul forms — see DotConv1D
     conv_impl: str = "conv"
+    #: fuse conv + BatchNorm stats into one Pallas pass per stack layer
+    #: (see FusedConvBN; changes the encoder param tree)
+    fused_conv_bn: bool = False
 
     @nn.compact
     def __call__(self, inputs: tp.Mapping[str, jax.Array],
@@ -208,7 +211,8 @@ class SimpleConv(nn.Module):
             skip=self.skip, post_skip=self.post_skip, scale=self.scale,
             rewrite=self.rewrite, glu=self.glu, glu_context=self.glu_context,
             glu_glu=self.glu_glu, activation=act, dtype=dtype,
-            bn_conv_bias=self.bn_conv_bias, conv_impl=self.conv_impl)
+            bn_conv_bias=self.bn_conv_bias, conv_impl=self.conv_impl,
+            fused_conv_bn=self.fused_conv_bn)
 
         final_channels = sum(s[-1] for s in sizes.values())
         use_final = self.linear_out or self.complex_out

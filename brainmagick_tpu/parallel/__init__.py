@@ -63,6 +63,37 @@ def shard_batch(arrays: tp.Dict[str, tp.Any], mesh: Mesh
     return {k: shard_array(v, mesh) for k, v in arrays.items()}
 
 
+def process_rows(n_global: int) -> slice:
+    """This process's contiguous row block of a globally-identical
+    batch. Every process's loader draws the SAME seeded global batch
+    (the reference's DistributedSampler equivalently partitions one
+    seeded index order across ranks, bm/solver.py:120-130); each
+    process keeps only its rows and feeds them to
+    `make_array_from_process_local_data`, which requires strictly
+    process-local data. Valid because a 1-D mesh over `jax.devices()`
+    assigns contiguous row blocks to each process's devices (devices
+    are ordered by process index)."""
+    n_proc = jax.process_count()
+    assert n_global % n_proc == 0, (
+        f"global batch {n_global} must divide over {n_proc} processes")
+    local = n_global // n_proc
+    i = jax.process_index()
+    return slice(i * local, (i + 1) * local)
+
+
+def slice_global_batch(arrays: tp.Dict[str, tp.Any],
+                       pad_weight: tp.Any
+                       ) -> tp.Tuple[tp.Dict[str, tp.Any], tp.Any]:
+    """Reduce a globally-identical batch to this process's local rows
+    (identity on single-process)."""
+    if jax.process_count() == 1:
+        return arrays, pad_weight
+    n_global = len(pad_weight)
+    rows = process_rows(n_global)
+    arrays = {k: v[rows] for k, v in arrays.items()}
+    return arrays, pad_weight[rows]
+
+
 def replicate(tree: tp.Any, mesh: Mesh) -> tp.Any:
     """Commit a pytree fully replicated over the mesh (works from every
     process on multi-host pods — each supplies the identical value)."""

@@ -475,8 +475,12 @@ class Solver:
         return loss, aux
 
     def _build_step(self, train: bool, with_negatives: bool,
-                    return_output: bool):
+                    return_output: bool, jit: bool = True):
         """Build (and cache) the jitted step for this configuration.
+        `jit=False` returns the raw python step (uncached) so callers
+        can embed it in a larger traced region — bench.py times CHUNK
+        shipped steps inside one jitted fori_loop (single dispatch; a
+        per-step host round trip would bill relay latency to the chip).
 
         Single-device: plain jit. With a mesh: the loss is computed under
         shard_map — each device sees only its batch/negative shard (the
@@ -486,7 +490,7 @@ class Solver:
         contrastive dynamics the paper depends on.
         """
         key = (train, with_negatives, return_output, self.mesh)
-        if key in self._jit_cache:
+        if jit and key in self._jit_cache:
             return self._jit_cache[key]
 
         mesh = self.mesh
@@ -573,6 +577,8 @@ class Solver:
                 metrics["output"] = aux["output"]
             return new_state, metrics
 
+        if not jit:
+            return step
         jitted = jax.jit(step, donate_argnums=(0,) if train else ())
         self._jit_cache[key] = jitted
         return jitted
@@ -623,6 +629,13 @@ class Solver:
         for idx, (batch, pad_weight) in enumerate(loader):
             if idx >= total:
                 break
+            # multi-process: every loader yields the same seeded global
+            # batch; keep only this process's rows (the reference's
+            # DistributedSampler split, bm/solver.py:120-130)
+            rows = self.local_rows(len(batch))
+            if (rows.start, rows.stop) != (0, len(batch)):
+                batch = batch[rows]
+                pad_weight = pad_weight[rows]
             arrays = batch.to_device(args.parallel.transfer_dtype)
             pad_w = jnp.asarray(pad_weight)
             if self.mesh is not None:
@@ -854,6 +867,16 @@ class Solver:
         self._jit_cache[key] = jitted
         return jitted
 
+    def local_rows(self, n_global: int) -> slice:
+        """This process's row block of a globally-identical batch:
+        slice(0, n) on single-process; the contiguous per-process block
+        on a multi-process mesh (parallel.process_rows). Callers align
+        per-row host metadata with the rows forward_batch returns."""
+        if self.mesh is None or jax.process_count() == 1:
+            return slice(0, n_global)
+        from .parallel import process_rows
+        return process_rows(n_global)
+
     def forward_batch(self, batch: SegmentBatch,
                       pad_weight: tp.Optional[np.ndarray] = None,
                       training: bool = False
@@ -861,13 +884,20 @@ class Solver:
                                     np.ndarray]:
         """Jitted host-facing forward; `keep` already folds in the
         loader's pad_weight. Under a mesh the batch is sharded over the
-        devices; on multi-host pods each process receives only its own
-        rows back (reference per-rank semantics, bm/play.py:120-124)."""
-        arrays = batch.to_device()
+        devices. On multi-process meshes pass the globally-identical
+        batch every loader yields: it is reduced to this process's rows
+        (solver.local_rows) before the transfer, and the returned
+        arrays cover only those rows (reference per-rank semantics,
+        bm/play.py:120-124)."""
         if pad_weight is None:
-            pad_w = jnp.ones(len(batch), dtype=jnp.float32)
-        else:
-            pad_w = jnp.asarray(np.asarray(pad_weight, dtype=np.float32))
+            pad_weight = np.ones(len(batch), dtype=np.float32)
+        pad_weight = np.asarray(pad_weight, dtype=np.float32)
+        rows = self.local_rows(len(batch))
+        if (rows.start, rows.stop) != (0, len(batch)):
+            batch = batch[rows]
+            pad_weight = pad_weight[rows]
+        arrays = batch.to_device()
+        pad_w = jnp.asarray(pad_weight)
         if self.mesh is not None:
             from .parallel import shard_array, shard_batch
             arrays = shard_batch(arrays, self.mesh)

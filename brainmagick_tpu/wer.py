@@ -72,6 +72,9 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
     used_names = list(solver.used_features.keys())
     for batch, pad_weight in loader:
         word_hash = batch.features[:, hash_slice][:, 0]
+        # multi-process meshes: forward_batch returns this process's
+        # rows only — align the host-side metadata with them
+        word_hash = word_hash[solver.local_rows(len(batch))]
         features = test_features.extract_features(batch.features, used_names)
         # jitted forward, sharded over the mesh when one is set; keep
         # folds in pad_weight (no eager single-device process_batch in
@@ -124,9 +127,13 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
 
     # mesh-parallel scoring: estimate rows sharded over the devices,
     # candidate blocks replicated — every chip scores its row slice of
-    # the [chunk, cand_block] contraction
+    # the [chunk, cand_block] contraction. Multi-process meshes keep
+    # scoring per-process on local devices: each process pooled only
+    # its own rows, so its estimate/negative pools differ per process —
+    # exactly the reference's per-rank WER whose metrics are averaged
+    # at the end (bm/wer.py:36-37,121).
     rep_sharding = row_sharding = None
-    if solver.mesh is not None:
+    if solver.mesh is not None and jax.process_count() == 1:
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
         rep_sharding = NamedSharding(solver.mesh, P())

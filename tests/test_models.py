@@ -421,3 +421,50 @@ def test_feature_decoding_loss():
     mask = jnp.ones((B, 1, T), dtype=bool)
     val = loss_fn(estimate, output, mask)
     assert np.isfinite(float(val)) and float(val) > 0
+
+
+def test_dotconv_matches_nn_conv():
+    """DotConv1D ('dots' and 'concat' lowerings) is numerically the
+    same function as nn.Conv for stride-1 SAME odd-kernel convs, with
+    identical parameter LEAF shapes (kernel [k, C, O], bias [O]) — the
+    checkpoint-compat claim in its docstring."""
+    import flax.linen as nn
+
+    from brainmagick_tpu.models.common import DotConv1D
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 50, 12).astype(np.float32))
+    for dilation in (1, 2, 4):
+        pad = (3 // 2) * dilation
+        conv = nn.Conv(16, (3,), strides=(1,), padding=[(pad, pad)],
+                       kernel_dilation=(dilation,))
+        params = conv.init(jax.random.PRNGKey(0), x)
+        ref = conv.apply(params, x)
+        for mode in ("dots", "concat"):
+            dot = DotConv1D(16, 3, dilation=dilation, mode=mode)
+            # same leaves, different module path: transplant directly
+            got = dot.apply(params, x)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=2e-5, rtol=2e-5)
+
+
+def test_conv_impl_checkpoint_key_rename():
+    """A ConvSequence checkpoint trained with conv_impl='conv' loads
+    into conv_impl='dots' after renaming Conv_i -> DotConv1D_i (the
+    module-path rename the DotConv1D docstring documents)."""
+    from brainmagick_tpu.models.common import ConvSequence
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 40, 12).astype(np.float32))
+    kw = dict(channels=(12, 16, 16), kernel=3, stride=1,
+              dilation_growth=2, dilation_period=2)
+    seq_conv = ConvSequence(conv_impl="conv", **kw)
+    seq_dots = ConvSequence(conv_impl="dots", **kw)
+    params = seq_conv.init(jax.random.PRNGKey(0), x, train=False)
+    renamed = {"params": {
+        key.replace("Conv_", "DotConv1D_"): val
+        for key, val in params["params"].items()}}
+    ref = seq_conv.apply(params, x, train=False)
+    got = seq_dots.apply(renamed, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

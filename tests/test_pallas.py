@@ -130,3 +130,91 @@ def test_candidate_blocks_and_device_groups():
     # a budget smaller than one block still makes progress
     tiny = list(iter_device_groups(blocks, budget_bytes=1))
     assert [len(g) for _, g in tiny] == [1, 1, 1]
+
+
+def test_fused_conv_bn_matches_standard_path():
+    """ConvSequence(fused_conv_bn=True) is the same function as the
+    Conv+BatchNorm path — outputs, gradients and updated running
+    statistics — after the documented param re-map (FusedConvBN_i takes
+    Conv_i.kernel and BatchNorm_i.{scale,bias,mean,var})."""
+    import flax
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from brainmagick_tpu.models.common import ConvSequence
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(3, 40, 16).astype(np.float32))
+    kw = dict(channels=(16, 16, 16, 16), kernel=3, stride=1,
+              dilation_growth=2, dilation_period=2, skip=True,
+              batch_norm=True, bn_conv_bias=False,
+              activation=jax.nn.gelu)
+    std = ConvSequence(fused_conv_bn=False, **kw)
+    fused = ConvSequence(fused_conv_bn=True, **kw)
+    var_std = std.init(jax.random.PRNGKey(0), x, train=False)
+
+    params = flax.core.unfreeze(var_std["params"])
+    stats = flax.core.unfreeze(var_std.get("batch_stats", {}))
+    fused_params, fused_stats = {}, {}
+    for i in range(3):
+        fused_params[f"FusedConvBN_{i}"] = dict(
+            kernel=params[f"Conv_{i}"]["kernel"],
+            scale=params[f"BatchNorm_{i}"]["scale"],
+            bias=params[f"BatchNorm_{i}"]["bias"])
+        fused_stats[f"FusedConvBN_{i}"] = dict(
+            mean=stats[f"BatchNorm_{i}"]["mean"],
+            var=stats[f"BatchNorm_{i}"]["var"])
+    var_fused = {"params": fused_params, "batch_stats": fused_stats}
+
+    # eval mode (running stats)
+    ref = std.apply(var_std, x, train=False)
+    got = fused.apply(var_fused, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+    # train mode: outputs + mutated running statistics
+    ref, mut_ref = std.apply(var_std, x, train=True,
+                             mutable=["batch_stats"])
+    got, mut_got = fused.apply(var_fused, x, train=True,
+                               mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+    for i in range(3):
+        for leaf in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(mut_got["batch_stats"]
+                           [f"FusedConvBN_{i}"][leaf]),
+                np.asarray(mut_ref["batch_stats"]
+                           [f"BatchNorm_{i}"][leaf]),
+                atol=1e-4, rtol=1e-4)
+
+    # gradients through the custom VJP
+    def loss_std(p):
+        out = std.apply({"params": p, "batch_stats": stats}, x,
+                        train=True, mutable=["batch_stats"])[0]
+        return jnp.sum(out ** 2)
+
+    def loss_fused(p):
+        out = fused.apply({"params": p, "batch_stats": fused_stats}, x,
+                          train=True, mutable=["batch_stats"])[0]
+        return jnp.sum(out ** 2)
+
+    g_std = jax.grad(loss_std)(params)
+    g_fused = jax.grad(loss_fused)(fused_params)
+    for i in range(3):
+        np.testing.assert_allclose(
+            np.asarray(g_fused[f"FusedConvBN_{i}"]["kernel"]),
+            np.asarray(g_std[f"Conv_{i}"]["kernel"]),
+            atol=1e-3, rtol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(g_fused[f"FusedConvBN_{i}"]["scale"]),
+            np.asarray(g_std[f"BatchNorm_{i}"]["scale"]),
+            atol=1e-3, rtol=1e-3)
+
+
+def test_conv_stats_self_test():
+    """Kernel math: fwd vs XLA reference, bwd vs autodiff of the
+    reference (runs the interpret path on CPU)."""
+    from brainmagick_tpu.ops.pallas_conv_bn import self_test
+    self_test()
