@@ -66,8 +66,8 @@ def _kernel(x_ref, w_ref, y_ref, s_ref, ss_ref, *, k: int, dilation: int,
         acc = acc + jnp.dot(tap, w_ref[j],
                             preferred_element_type=jnp.float32)
     y_ref[0] = acc.astype(y_ref.dtype)
-    s_ref[0] = jnp.sum(acc, axis=0)
-    ss_ref[0] = jnp.sum(acc * acc, axis=0)
+    s_ref[0, 0] = jnp.sum(acc, axis=0)
+    ss_ref[0, 0] = jnp.sum(acc * acc, axis=0)
 
 
 def _pallas_conv_stats(x: jax.Array, w: jax.Array, dilation: int,
@@ -98,15 +98,17 @@ def _pallas_conv_stats(x: jax.Array, w: jax.Array, dilation: int,
         out_specs=(
             pl.BlockSpec((1, T, O), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, O), lambda b: (b, 0),
+            # [B, 1, O] so the block's last two dims equal the array
+            # dims (TPU block tiling requires /8, /128 or full-dim)
+            pl.BlockSpec((1, 1, O), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, O), lambda b: (b, 0),
+            pl.BlockSpec((1, 1, O), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, T, O), x.dtype),
-            jax.ShapeDtypeStruct((B, O), jnp.float32),
-            jax.ShapeDtypeStruct((B, O), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, O), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, O), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -116,7 +118,7 @@ def _pallas_conv_stats(x: jax.Array, w: jax.Array, dilation: int,
             transcendentals=0),
         interpret=interpret,
     )(xp, w)
-    return y, s, ss
+    return y, s[:, 0], ss[:, 0]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

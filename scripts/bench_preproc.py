@@ -65,6 +65,69 @@ def main() -> None:
         "value": round(out.nbytes / dt / 1e9, 2), "unit": "GB/s",
         "detail": f"256x280x361 batch in {dt * 1e3:.1f} ms"}))
 
+    # -- wav2vec embedding precompute: torch-CPU vs JAX-on-accelerator --
+    # The reference's "extremely slow" first run is wav2vec on CPU
+    # (README.md:99, w2v device: cpu). Measure the model forward both
+    # ways at xlsr-53 size (random weights offline — same architecture,
+    # identical FLOPs) on 4s 16kHz chunks; report audio-samples/s and
+    # the realtime factor.
+    if "--no-w2v" not in sys.argv:
+        bench_wav2vec()
+
+
+def bench_wav2vec(seconds: float = 4.0) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from brainmagick_tpu.features.audio import Wav2VecTransformer
+    from brainmagick_tpu.utils import Frequency
+
+    feat = Wav2VecTransformer(Frequency(120), random=True)
+    model = feat.model
+    model.eval()
+    n = int(feat.model_sr * seconds)
+    rng = np.random.RandomState(0)
+    wav = rng.randn(n).astype(np.float32)
+
+    # torch CPU (the reference's default path)
+    with torch.no_grad():
+        tin = torch.from_numpy(wav)[None]
+        t0 = time.perf_counter()
+        model(tin, output_hidden_states=True)
+        dt_torch = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "wav2vec_precompute_torch_cpu",
+        "value": round(n / dt_torch, 0), "unit": "audio samples/s",
+        "realtime_x": round(seconds / dt_torch, 2),
+        "detail": f"{seconds:.0f}s chunk in {dt_torch:.2f}s"}))
+
+    # JAX port on the accelerator (backend='jax' precompute path)
+    jmodel, variables = feat._jax_cache.get(feat._load_jax_model)
+
+    @jax.jit
+    def forward(x):
+        last, extract, hidden = jmodel.apply(variables, x)
+        return jnp.stack(hidden)
+
+    x = jnp.asarray(wav[None])
+    out = forward(x)
+    _ = float(out[0, 0, 0, 0])  # sync incl. compile
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(x)
+    _ = float(out[0, 0, 0, 0])
+    dt_jax = (time.perf_counter() - t0) / iters
+    print(json.dumps({
+        "metric": "wav2vec_precompute_jax",
+        "value": round(n / dt_jax, 0), "unit": "audio samples/s",
+        "realtime_x": round(seconds / dt_jax, 2),
+        "vs_torch_cpu": round(dt_torch / dt_jax, 1),
+        "backend": jax.default_backend(),
+        "detail": f"{seconds:.0f}s chunk in {dt_jax:.3f}s"}))
+
 
 if __name__ == "__main__":
     main()
