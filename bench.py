@@ -117,6 +117,10 @@ def build_solver():
     args.dset.features = ["BenchW2VTarget"]
     args.dset.features_params = {}
     args.dset.min_n_blocks_per_split = 1
+    # 0.25s stride: the fake study's 4x83s raws must yield >= one full
+    # drop_last batch of 256 after split/containment (the default 0.5s
+    # stride leaves only 233 train samples); per-step shapes unchanged
+    args.dset.condition = 0.25
     if TINY:
         args.optim.batch_size = B
         args.simpleconv.update(
@@ -124,6 +128,13 @@ def build_solver():
             merger_pos_dim=32, initial_linear=16)
     # paper recipe already set by the preset: batch 256, sr 120,
     # tmin/tmax -0.5/2.5 (T=361), offset_meg_ms 150, bf16 knobs
+
+    overrides = os.environ.get("BM_BENCH_OVERRIDES")
+    if overrides:
+        # A/B a config knob through the same harness, e.g.
+        # BM_BENCH_OVERRIDES="simpleconv={'fused_head': True}"
+        from brainmagick_tpu.train import parse_overrides
+        args = parse_overrides(overrides.split(";;"), args)
 
     env_ctx = env.temporary(cache=cache)
     env_ctx.__enter__()
@@ -194,14 +205,18 @@ def main() -> None:
 
     samples_per_sec = B * n_steps / elapsed
 
-    # MFU from the compiler's own flop count for the CHUNK-step loop
+    # MFU from the compiler's own flop count. XLA's cost analysis
+    # counts a while/fori-loop BODY once (not trip_count times), so the
+    # chunk's flop number IS the per-step count (verified: it matches
+    # the round-2 single-step cost analysis of the same model, 3869
+    # GFLOP, to 0.1%)
     step_flops = None
     try:
         cost = chunk.lower(state, arrays, na, pad_w,
                            key).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        step_flops = float(cost["flops"]) / CHUNK
+        step_flops = float(cost["flops"])
     except Exception:
         pass
     flops_source = "xla_cost_analysis"

@@ -178,8 +178,10 @@ SIMPLECONV_DEFAULTS: tp.Dict[str, tp.Any] = dict(
     #                        (+2% step time, function space unchanged)
     #   fused_conv_bn=True  Pallas fused conv+BN-stats stack layers
     #                        (see models.common.FusedConvBN)
+    #   fused_head=True      merger+initial+subject as one per-recording
+    #                        matrix (same params; SimpleConv._fused_head)
     dtype=None, output_dtype=None, output_layout="bct", conv_impl="conv",
-    bn_conv_bias=True, fused_conv_bn=False)
+    bn_conv_bias=True, fused_conv_bn=False, fused_head=False)
 
 CONVRNN_DEFAULTS: tp.Dict[str, tp.Any] = dict(
     concatenate=False, depth=2, linear_out=False, complex_out=False,

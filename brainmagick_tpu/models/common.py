@@ -193,8 +193,8 @@ class ChannelMerger(nn.Module):
                  subjects: jax.Array, train: bool = False,
                  pos_emb: tp.Optional[jax.Array] = None,
                  rec_index: tp.Optional[jax.Array] = None,
-                 rec_positions: tp.Optional[jax.Array] = None
-                 ) -> jax.Array:
+                 rec_positions: tp.Optional[jax.Array] = None,
+                 return_weights: bool = False) -> jax.Array:
         # meg: [B, T, C]; positions: [B, C, 2]; subjects: [B]
         # pos_emb: optional precomputed fourier_emb(positions) — either
         # [B, C, D] per sample, or [R, C, D] per RECORDING together with
@@ -209,6 +209,8 @@ class ChannelMerger(nn.Module):
 
         per_recording = (rec_index is not None and pos_emb is not None
                          and not self.per_subject)
+        assert not return_weights or per_recording, \
+            "return_weights requires the per-recording path"
         if per_recording:
             embedding = pos_emb                      # [R, C, D]
             mask_positions = rec_positions           # [R, C, 2]
@@ -254,6 +256,11 @@ class ChannelMerger(nn.Module):
                                 heads.astype(meg.dtype),
                                 preferred_element_type=jnp.float32)
             scores = scores + score_offset[:, None, :]
+            if return_weights:
+                # fused-head path (SimpleConv.fused_head): hand back the
+                # per-RECORDING attention matrices so the caller can
+                # fold them with the 1x1 linear and subject matrices
+                return jax.nn.softmax(scores, axis=2)  # [R, O, C]
             weights = jax.nn.softmax(scores, axis=2)[rec_index]  # [B,O,C]
         else:
             scores = jnp.einsum("bcd,bod->boc",

@@ -106,6 +106,57 @@ class SimpleConv(nn.Module):
     #: fuse conv + BatchNorm stats into one Pallas pass per stack layer
     #: (see FusedConvBN; changes the encoder param tree)
     fused_conv_bn: bool = False
+    #: fold merger-mix + initial 1x1 linear + subject matrix into ONE
+    #: per-recording [C_in, D] matrix (same parameters, associativity
+    #: only — checkpoint compatible both ways): three [B, T, ~270]
+    #: matmuls plus two intermediate activations become one gathered
+    #: einsum. Engages on the per-recording path (pos_emb/rec_index/
+    #: rec_subjects supplied by the solver) with initial_depth 1, no
+    #: initial_nonlin, no per-subject merger, no merger penalty;
+    #: otherwise silently falls back to the unfused ops.
+    fused_head: bool = False
+
+    def _fused_head(self, meg, merger_mod, conv_mod, subject_mod,
+                    positions, subject_index, train, pos_emb, rec_index,
+                    rec_positions, rec_subjects, dim):
+        """merger-mix + initial 1x1 linear + subject matrix as ONE
+        gathered [C_in, dim] matmul per sample.
+
+        Associativity on the same parameters:
+        ``y = ((x A_r^T) W1 + b1) S_s = x (A_r^T W1 S_s) + b1 S_s``
+        with one [C_in, dim] matrix per recording (recordings bind the
+        subject, so S_{s(r)} folds in via rec_subjects). W1/b1 are read
+        out of the SHARED nn.Conv by probing it with identity / zero
+        inputs (exact: conv(I)[i] = W1[i] + b1, conv(0) = b1), so the
+        parameter tree is identical to the unfused path. Saves ~2/3 of
+        the head's [B, T, ~270] matmul FLOPs and two intermediate
+        activations (tested equal in tests/test_models.py)."""
+        A = merger_mod(meg, positions, subject_index, train=train,
+                       pos_emb=pos_emb, rec_index=rec_index,
+                       rec_positions=rec_positions,
+                       return_weights=True)      # [R, O_m, C_in] fp32
+        n_rec = A.shape[0]
+        o_m = self.merger_channels
+        cd = meg.dtype
+        b1 = conv_mod(jnp.zeros((1, 1, o_m), cd))[0, 0]        # [O1]
+        w1 = conv_mod(jnp.eye(o_m, dtype=cd)[None])[0] \
+            - b1[None, :]                                      # [O_m, O1]
+        eye = jnp.broadcast_to(
+            jnp.eye(self.initial_linear, dtype=cd)[None],
+            (n_rec, self.initial_linear, self.initial_linear))
+        subj = subject_mod(eye, rec_subjects)           # [R, O1, dim]
+        t1 = jnp.einsum("roc,ok->rck", A.astype(cd), w1.astype(cd),
+                        preferred_element_type=jnp.float32)
+        fold = jnp.einsum("rck,rkd->rcd", t1.astype(cd),
+                          subj.astype(cd),
+                          preferred_element_type=jnp.float32)
+        bias = jnp.einsum("k,rkd->rd", b1.astype(jnp.float32),
+                          subj.astype(jnp.float32),
+                          preferred_element_type=jnp.float32)
+        out = jnp.einsum("btc,bcd->btd", meg,
+                         fold[rec_index].astype(cd),
+                         preferred_element_type=jnp.float32)
+        return out + bias[rec_index][:, None, :]
 
     @nn.compact
     def __call__(self, inputs: tp.Mapping[str, jax.Array],
@@ -113,7 +164,8 @@ class SimpleConv(nn.Module):
                  train: bool = False,
                  pos_emb: tp.Optional[jax.Array] = None,
                  rec_index: tp.Optional[jax.Array] = None,
-                 rec_positions: tp.Optional[jax.Array] = None
+                 rec_positions: tp.Optional[jax.Array] = None,
+                 rec_subjects: tp.Optional[jax.Array] = None
                  ) -> jax.Array:
         """inputs: {'meg': [B, C, T], 'features': [B, F, T](encode task)};
         positions: [B, C, 2]; pos_emb: optional precomputed merger
@@ -148,34 +200,58 @@ class SimpleConv(nn.Module):
             if self.dropout > 0.:
                 meg = ChannelDropout(self.dropout, self.dropout_rescale)(
                     meg, positions, train=train)
+            fused_head = (
+                self.fused_head and self.merger and self.initial_linear
+                and self.subject_layers and self.initial_depth == 1
+                and not self.initial_nonlin
+                and not self.merger_per_subject
+                and self.merger_penalty == 0.
+                and pos_emb is not None and rec_index is not None
+                and rec_subjects is not None)
+            # the three modules are constructed in the SAME order on
+            # both paths, so parameter trees (and checkpoints) match
+            # across the fused_head flag
             if self.merger:
-                meg = ChannelMerger(
+                merger_mod = ChannelMerger(
                     self.merger_channels, pos_dim=self.merger_pos_dim,
                     dropout=self.merger_dropout,
                     usage_penalty=self.merger_penalty,
                     n_subjects=self.n_subjects,
-                    per_subject=self.merger_per_subject)(
+                    per_subject=self.merger_per_subject)
+                if not fused_head:
+                    meg = merger_mod(
                         meg, positions, subject_index, train=train,
                         pos_emb=pos_emb, rec_index=rec_index,
                         rec_positions=rec_positions)
                 in_channels["meg"] = self.merger_channels
             if self.initial_linear:
+                initial_mods = []
                 for d in range(self.initial_depth):
-                    if d > 0:
+                    if d > 0 and not fused_head:
                         meg = act(meg)
-                    meg = nn.Conv(self.initial_linear, (1,),
-                                  dtype=dtype)(meg)
-                if self.initial_nonlin:
+                    conv_mod = nn.Conv(self.initial_linear, (1,),
+                                       dtype=dtype)
+                    initial_mods.append(conv_mod)
+                    if not fused_head:
+                        meg = conv_mod(meg)
+                if self.initial_nonlin and not fused_head:
                     meg = act(meg)
                 in_channels["meg"] = self.initial_linear
             if self.subject_layers:
                 meg_dim = in_channels["meg"]
                 dim = {"hidden": hidden["meg"],
                        "input": meg_dim}[self.subject_layers_dim]
-                meg = SubjectLayers(meg_dim, dim, self.n_subjects,
-                                    self.subject_layers_id)(
-                                        meg, subject_index)
+                subject_mod = SubjectLayers(meg_dim, dim,
+                                            self.n_subjects,
+                                            self.subject_layers_id)
+                if not fused_head:
+                    meg = subject_mod(meg, subject_index)
                 in_channels["meg"] = dim
+            if fused_head:
+                meg = self._fused_head(
+                    meg, merger_mod, initial_mods[0], subject_mod,
+                    positions, subject_index, train, pos_emb, rec_index,
+                    rec_positions, rec_subjects, dim)
             if self.n_fft is not None:
                 meg = self._stft(meg)
                 in_channels["meg"] = in_channels["meg"] * (

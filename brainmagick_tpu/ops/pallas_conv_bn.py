@@ -19,8 +19,12 @@ contractions XLA's own conv backward emits, measured 66-87 % MFU
 per-HLO), with the sum/sumsq cotangents folded into dY first.
 
 Verdict from the chip (scripts/exp_conv_bn.py, fwd+bwd over the paper
-dilation schedule): see doc/perf_playbook.md — the kernel is kept
-behind `simpleconv.fused_conv_bn=true` either way.
+dilation schedule): **XLA wins 1.6x** (26.97 vs 42.35 ms) — its conv
+lowering beats in-VMEM shifted matmuls at M=343/K=320, and deeper-M
+variants hit Mosaic "unsupported shape cast" limits on strided-slice
+reshapes. Full table in doc/perf_playbook.md. The kernel stays behind
+`simpleconv.fused_conv_bn=true` as the measured negative result, with
+its correctness suite green (tests/test_pallas.py).
 """
 
 from __future__ import annotations
@@ -33,15 +37,15 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-# one batch row per program: [T + 2*pad, C] stays under ~0.25 MB at the
-# paper shapes, and the k taps become static in-VMEM slices (no halo
-# DMA machinery needed)
+# a block of batch rows per program: [rows, T + 2*pad, C] stays small
+# at the paper shapes, and the k taps become static in-VMEM slices (no
+# halo DMA machinery needed)
 
 
 def _ref_conv_stats(x: jax.Array, w: jax.Array, dilation: int
                     ) -> tp.Tuple[jax.Array, jax.Array, jax.Array]:
-    """Pure-XLA reference: dilated SAME conv + per-(row,channel) partial
-    sums. x [B, T, C], w [k, C, O] -> (y [B, T, O], s [B, O], ss [B, O]).
+    """Pure-XLA reference: dilated SAME conv + per-channel totals.
+    x [B, T, C], w [k, C, O] -> (y [B, T, O], s [O], ss [O]).
     y in x.dtype (bf16 path), sums in fp32 from the fp32 accumulator."""
     k = w.shape[0]
     pad = (k // 2) * dilation
@@ -51,23 +55,35 @@ def _ref_conv_stats(x: jax.Array, w: jax.Array, dilation: int
         dimension_numbers=("NWC", "WIO", "NWC"),
         preferred_element_type=jnp.float32)
     y = y32.astype(x.dtype)
-    s = jnp.sum(y32, axis=1)
-    ss = jnp.sum(y32 * y32, axis=1)
+    s = jnp.sum(y32, axis=(0, 1))
+    ss = jnp.sum(y32 * y32, axis=(0, 1))
     return y, s, ss
 
 
 def _kernel(x_ref, w_ref, y_ref, s_ref, ss_ref, *, k: int, dilation: int,
-            t_out: int):
-    """One batch row: y[t] = sum_j x[t + j*d] @ w[j] (x pre-padded),
-    plus per-channel sum and sum-of-squares of the fp32 accumulator."""
-    acc = jnp.zeros((t_out, w_ref.shape[2]), dtype=jnp.float32)
-    for j in range(k):
-        tap = x_ref[0, j * dilation: j * dilation + t_out, :]
-        acc = acc + jnp.dot(tap, w_ref[j],
-                            preferred_element_type=jnp.float32)
-    y_ref[0] = acc.astype(y_ref.dtype)
-    s_ref[0, 0] = jnp.sum(acc, axis=0)
-    ss_ref[0, 0] = jnp.sum(acc * acc, axis=0)
+            t_out: int, rows: int):
+    """A block of `rows` batch rows: y[r, t] = sum_j x[r, t + j*d] @ w[j]
+    (x pre-padded per row, so slicing each row's tap then flattening the
+    rows into one [rows*T, C] matmul is exact), plus the per-channel
+    sum / sum-of-squares of the fp32 accumulator."""
+    O = w_ref.shape[2]
+    # strictly 2-D dots (Mosaic rejects both reshaping the strided tap
+    # slice to [rows*T, C] and the 3-D dot_general form); several rows
+    # per program amortize the per-program grid overhead that dominated
+    # the rows=1 variant
+    s_acc = jnp.zeros((1, O), dtype=jnp.float32)
+    ss_acc = jnp.zeros((1, O), dtype=jnp.float32)
+    for r in range(rows):
+        acc = jnp.zeros((t_out, O), dtype=jnp.float32)
+        for j in range(k):
+            tap = x_ref[r, j * dilation: j * dilation + t_out, :]
+            acc = acc + jnp.dot(tap, w_ref[j],
+                                preferred_element_type=jnp.float32)
+        y_ref[r] = acc.astype(y_ref.dtype)
+        s_acc = s_acc + jnp.sum(acc, axis=0, keepdims=True)
+        ss_acc = ss_acc + jnp.sum(acc * acc, axis=0, keepdims=True)
+    s_ref[0] = s_acc
+    ss_ref[0] = ss_acc
 
 
 def _pallas_conv_stats(x: jax.Array, w: jax.Array, dilation: int,
@@ -82,13 +98,26 @@ def _pallas_conv_stats(x: jax.Array, w: jax.Array, dilation: int,
     xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
     t_pad = T + 2 * pad
 
-    kernel = functools.partial(_kernel, k=k, dilation=dilation, t_out=T)
+    # several batch rows per program: one [rows*T, C] x [C, O] matmul
+    # per tap keeps the MXU M-dimension deep (M=343 alone measured 1.6x
+    # slower than XLA's conv); VMEM bounds the row count
+    rows = 1
+    for cand in (8, 4, 2):
+        acc_bytes = cand * T * O * 4
+        x_bytes = cand * t_pad * C * xp.dtype.itemsize
+        if B % cand == 0 and acc_bytes + x_bytes < 6 << 20:
+            rows = cand
+            break
+    n_blocks = B // rows
+
+    kernel = functools.partial(_kernel, k=k, dilation=dilation, t_out=T,
+                               rows=rows)
     flops = 2 * B * T * C * O * k
     y, s, ss = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((1, t_pad, C), lambda b: (b, 0, 0),
+            pl.BlockSpec((rows, t_pad, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             # whole weight block every program: the index map is
             # constant, so it stays resident across the grid
@@ -96,10 +125,10 @@ def _pallas_conv_stats(x: jax.Array, w: jax.Array, dilation: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, T, O), lambda b: (b, 0, 0),
+            pl.BlockSpec((rows, T, O), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            # [B, 1, O] so the block's last two dims equal the array
-            # dims (TPU block tiling requires /8, /128 or full-dim)
+            # [n_blocks, 1, O] so the block's last two dims equal the
+            # array dims (TPU block tiling needs /8, /128 or full-dim)
             pl.BlockSpec((1, 1, O), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, O), lambda b: (b, 0, 0),
@@ -107,18 +136,18 @@ def _pallas_conv_stats(x: jax.Array, w: jax.Array, dilation: int,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, T, O), x.dtype),
-            jax.ShapeDtypeStruct((B, 1, O), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, O), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, 1, O), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, 1, O), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=(xp.size * xp.dtype.itemsize
-                            + w.size * w.dtype.itemsize * B
+                            + w.size * w.dtype.itemsize * n_blocks
                             + B * T * O * x.dtype.itemsize),
             transcendentals=0),
         interpret=interpret,
     )(xp, w)
-    return y, s[:, 0], ss[:, 0]
+    return y, s[:, 0].sum(axis=0), ss[:, 0].sum(axis=0)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -129,8 +158,9 @@ def conv_stats(x: jax.Array, w: jax.Array, dilation: int = 1,
 
     x [B, T, C], w [k, C, O] (odd k, stride 1, no bias — the
     BatchNorm-cancelled bias is elided, see ConvSequence.bn_conv_bias).
-    Returns (y [B, T, O] in x.dtype, s [B, O] fp32, ss [B, O] fp32);
-    batch mean/var follow as s.sum(0)/(B*T) etc. — the caller applies
+    Returns (y [B, T, O] in x.dtype, s [O] fp32, ss [O] fp32 — the
+    per-channel batch totals of y and y^2); mean/var follow as
+    s/(B*T) etc. (batch_mean_var) — the caller applies
     the normalize+GELU epilogue, which XLA fuses with whatever follows.
 
     impl: 'auto' = Pallas on TPU / XLA elsewhere; 'pallas' | 'xla' |
@@ -161,9 +191,9 @@ def _conv_stats_bwd(dilation, impl, res, cot):
     dy, ds, dss = cot
     k = w.shape[0]
     pad = (k // 2) * dilation
-    # fold the stats cotangents into dY: s = sum_t y, ss = sum_t y^2
-    dY = (dy.astype(jnp.float32) + ds[:, None, :]
-          + 2.0 * y.astype(jnp.float32) * dss[:, None, :])
+    # fold the stats cotangents into dY: s = sum y, ss = sum y^2
+    dY = (dy.astype(jnp.float32) + ds[None, None, :]
+          + 2.0 * y.astype(jnp.float32) * dss[None, None, :])
     dY = dY.astype(x.dtype)
     # dx: conv of dY with the flipped, transposed, equally-dilated
     # kernel at SAME padding — the exact contraction XLA's
@@ -190,10 +220,10 @@ conv_stats.defvjp(_conv_stats_fwd, _conv_stats_bwd)
 
 def batch_mean_var(s: jax.Array, ss: jax.Array, n: int
                    ) -> tp.Tuple[jax.Array, jax.Array]:
-    """Biased batch statistics from per-row partials (flax
+    """Biased batch statistics from the per-channel totals (flax
     nn.BatchNorm semantics: var = E[y^2] - E[y]^2)."""
-    mean = jnp.sum(s, axis=0) / n
-    var = jnp.sum(ss, axis=0) / n - mean * mean
+    mean = s / n
+    var = ss / n - mean * mean
     return mean, jnp.maximum(var, 0.0)
 
 

@@ -186,9 +186,11 @@ class Solver:
             arrays = self.scaler.export_arrays(n_rec, n_chan)
             self._norm_arrays = {k: jnp.asarray(v)
                                  for k, v in arrays.items()}
-            pos_emb, rec_positions = self._pos_emb_table(n_rec, n_chan)
+            pos_emb, rec_positions, rec_subjects = \
+                self._pos_emb_table(n_rec, n_chan)
             self._norm_arrays["pos_emb"] = pos_emb
             self._norm_arrays["rec_positions"] = rec_positions
+            self._norm_arrays["rec_subjects"] = rec_subjects
         return self._norm_arrays
 
     def _pos_emb_table(self, n_rec: int, n_chan: int):
@@ -202,16 +204,19 @@ class Solver:
         from .studies.api import INVALID_POSITION
 
         if not (isinstance(self.model, SimpleConv) and self.model.merger):
-            return None, None
+            return None, None, None
         positions = np.full((n_rec, n_chan, 2), INVALID_POSITION,
                             dtype=np.float32)
+        rec_subjects = np.zeros(n_rec, dtype=np.int32)
         for split in self.datasets:
             for dset in split.datasets:
                 positions[dset.recording.recording_index] = \
                     dset._get_positions()
+                rec_subjects[dset.recording.recording_index] = \
+                    dset.recording.subject_index
         emb = jnp.asarray(fourier_emb(jnp.asarray(positions),
                                       self.model.merger_pos_dim))
-        return emb, jnp.asarray(positions)
+        return emb, jnp.asarray(positions), jnp.asarray(rec_subjects)
 
     def _example_batch(self) -> SegmentBatch:
         item = self.datasets.train[0]
@@ -354,6 +359,11 @@ class Solver:
                 model_kwargs["pos_emb"] = na["pos_emb"]
                 model_kwargs["rec_index"] = rec
                 model_kwargs["rec_positions"] = na["rec_positions"]
+                if getattr(self.model, "fused_head", False) and \
+                        na.get("rec_subjects") is not None:
+                    # recordings bind the subject: the fused head folds
+                    # the subject matrix per recording
+                    model_kwargs["rec_subjects"] = na["rec_subjects"]
         out = self.model.apply(
             variables, inputs, arrays["subject_index"],
             arrays["positions"], train=train, **model_kwargs,

@@ -101,7 +101,9 @@ def main() -> None:
         cost = jitted.lower(params, stats, x).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops = float(cost["flops"]) / chunk_n
+        # XLA cost analysis counts the fori_loop body ONCE, so this is
+        # already the per-step flop count
+        flops = float(cost["flops"])
     except Exception:
         pass
     mfu = (flops / (per_step_ms / 1e3) / V5E_BF16_PEAK

@@ -468,3 +468,68 @@ def test_conv_impl_checkpoint_key_rename():
     got = seq_dots.apply(renamed, x, train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_fused_head_matches_unfused():
+    """simpleconv.fused_head folds merger-mix + initial 1x1 + subject
+    matrix into one per-recording matmul on the SAME parameters —
+    outputs must match the unfused path (train and eval), and the
+    param trees must be identical (checkpoint compatible both ways)."""
+    from brainmagick_tpu.models.common import fourier_emb
+
+    rng = np.random.RandomState(0)
+    R, B, C, T, D = 3, 8, 12, 40, 32
+    rec_positions = jnp.asarray(rng.rand(R, C, 2).astype(np.float32))
+    rec_index = jnp.asarray(rng.randint(0, R, B))
+    rec_subjects = jnp.asarray(rng.randint(0, 4, R))
+    subjects = rec_subjects[rec_index]
+    positions = rec_positions[rec_index]
+    meg = jnp.asarray(rng.randn(B, C, T).astype(np.float32))
+    table = fourier_emb(rec_positions, D)
+
+    kw = dict(in_channels=dict(meg=C), out_channels=10,
+              hidden=dict(meg=16), depth=2, kernel_size=3,
+              merger=True, merger_channels=8, merger_pos_dim=D,
+              merger_dropout=0.3, initial_linear=8,
+              subject_layers=True, subject_dim=0, complex_out=True,
+              n_subjects=4)
+    base = SimpleConv(fused_head=False, **kw)
+    fused = SimpleConv(fused_head=True, **kw)
+    variables = base.init({"params": jax.random.PRNGKey(0)},
+                          dict(meg=meg), subjects, positions,
+                          train=False)
+    # identical param tree across the flag
+    v2 = fused.init({"params": jax.random.PRNGKey(0)}, dict(meg=meg),
+                    subjects, positions, train=False)
+    t1 = jax.tree_util.tree_structure(variables)
+    t2 = jax.tree_util.tree_structure(v2)
+    assert t1 == t2
+
+    call_kw = dict(pos_emb=table, rec_index=rec_index,
+                   rec_positions=rec_positions)
+    ref = base.apply(variables, dict(meg=meg), subjects, positions,
+                     train=False, **call_kw)
+    got = fused.apply(variables, dict(meg=meg), subjects, positions,
+                      train=False, **call_kw, rec_subjects=rec_subjects)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+    # train mode: the merger's spatial dropout draws the same disk
+    # under the same rng, so the paths still agree
+    rngs = {"dropout": jax.random.PRNGKey(7)}
+    ref_t, _ = base.apply(variables, dict(meg=meg), subjects, positions,
+                          train=True, **call_kw, rngs=rngs,
+                          mutable=["batch_stats", "losses"])
+    got_t, _ = fused.apply(variables, dict(meg=meg), subjects,
+                           positions, train=True, **call_kw,
+                           rec_subjects=rec_subjects, rngs=rngs,
+                           mutable=["batch_stats", "losses"])
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(ref_t),
+                               atol=2e-4, rtol=2e-4)
+
+    # without rec_subjects the fused model silently runs the unfused
+    # ops (e.g. solver init / per-sample paths)
+    fallback = fused.apply(variables, dict(meg=meg), subjects,
+                           positions, train=False, **call_kw)
+    np.testing.assert_allclose(np.asarray(fallback), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
