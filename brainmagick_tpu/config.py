@@ -339,8 +339,11 @@ def apply_preset(cfg: MainConfig, name: str) -> MainConfig:
         # BatchNorm-cancelled conv biases elided (gradient-read cost
         # only; function space identical — tests/test_models.py).
         apply_preset(cfg, "clip_conv")
+        # fused_head: merger+initial+subject folded into one
+        # per-recording matmul — measured 36.0 -> 34.0 ms on the
+        # shipped step (same params/function, doc/perf_playbook.md)
         cfg.simpleconv.update(dtype="bfloat16", output_dtype="bfloat16",
-                              bn_conv_bias=False)
+                              bn_conv_bias=False, fused_head=True)
         cfg.clip.compute_dtype = "bfloat16"
         cfg.parallel.transfer_dtype = "bfloat16"
     elif name == "deep_mel":

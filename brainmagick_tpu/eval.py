@@ -198,7 +198,8 @@ def build_probs(solver: Solver, preds: np.ndarray, trues: np.ndarray,
     # devices, candidate blocks replicated; per-process local scoring
     # on multi-process meshes (each process holds different rows)
     rep_sharding = row_sharding = None
-    if solver.mesh is not None and jax.process_count() == 1:
+    if getattr(solver, "mesh", None) is not None \
+            and jax.process_count() == 1:
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
         rep_sharding = NamedSharding(solver.mesh, P())

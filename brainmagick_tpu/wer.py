@@ -133,7 +133,8 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
     # exactly the reference's per-rank WER whose metrics are averaged
     # at the end (bm/wer.py:36-37,121).
     rep_sharding = row_sharding = None
-    if solver.mesh is not None and jax.process_count() == 1:
+    if getattr(solver, "mesh", None) is not None \
+            and jax.process_count() == 1:
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
         rep_sharding = NamedSharding(solver.mesh, P())
@@ -163,7 +164,7 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
     # runs 3.1x faster per pair at B=256 than the reference-style 64
     # (B=64 fills half an MXU tile; scripts/bench_eval.py M-sweep)
     chunk = 256
-    if solver.mesh is not None:
+    if getattr(solver, "mesh", None) is not None:
         # row-sharded chunks must divide evenly over the mesh
         d = solver.mesh.size
         chunk = max(d, chunk // d * d)
