@@ -205,6 +205,14 @@ class ParallelConfig:
     #: paper's global batch reproduces the 2xV100 per-GPU pool of 128),
     #: 0 = one global pool (extension). Must divide the mesh size.
     negatives_group_size: int = 1
+    #: engage the data-parallel mesh automatically in the train CLI
+    #: whenever more than one device is visible (and the batch divides
+    #: over them); library users call solver.set_mesh themselves
+    auto_mesh: bool = True
+    #: call jax.distributed.initialize() at CLI startup — required on
+    #: multi-process pods (coordinator env from the launcher), harmless
+    #: but off by default for single-process hosts
+    distributed_init: bool = False
     donate_state: bool = True
     #: cast meg/features to this dtype for the host->device transfer
     #: (e.g. 'bfloat16' halves wire bytes; compute upcasts on device)

@@ -361,6 +361,15 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     for sig in sigs:
         output = tokens.get("output", str(Path(out_dir) / "eval" / sig))
         solver = get_solver_from_sig(sig, out_dir=out_dir, training=False)
+        if (solver.args.parallel.auto_mesh and jax.device_count() > 1
+                and solver.args.optim.batch_size
+                % jax.device_count() == 0):
+            # mesh-parallel offline eval: forwards + scoring over every
+            # device (single-process meshes; see wer.py for the
+            # multi-process per-rank semantics)
+            from .parallel import make_mesh
+            solver.set_mesh(make_mesh())
+            logger.info("eval mesh over %d devices", jax.device_count())
         run_eval(solver, output, n_negatives=n_negatives,
                  test_study=tokens.get("test_study"))
 

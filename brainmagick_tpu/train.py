@@ -128,7 +128,28 @@ def run(args: MainConfig) -> float:
     level = logging.DEBUG if args.verbose else logging.INFO
     logging.basicConfig(level=level,
                         format="%(levelname)s %(name)s: %(message)s")
+    if args.parallel.distributed_init:
+        # multi-process pods: join the jax.distributed cluster before
+        # any backend use (the reference's flashy.distrib.init process
+        # boundary, bm/train.py:139); coordinator/process env comes
+        # from the launcher (TPU pods auto-detect)
+        jax.distributed.initialize()
     solver = get_solver(args)
+    if args.parallel.auto_mesh and jax.device_count() > 1:
+        if args.optim.batch_size % jax.device_count() == 0:
+            from .parallel import make_mesh
+            solver.set_mesh(make_mesh())
+            logger.info(
+                "Data-parallel mesh over %d device(s) across %d "
+                "process(es); contrastive negative groups of %d",
+                jax.device_count(), jax.process_count(),
+                solver._negatives_group_size())
+        else:
+            logger.warning(
+                "auto_mesh: batch_size %d does not divide over %d "
+                "devices — training single-device. Set a divisible "
+                "optim.batch_size or parallel.auto_mesh=false.",
+                args.optim.batch_size, jax.device_count())
     logger.info("Model hash: %s",
                 model_hash(solver.state["params"]["model"]))
     if args.show:

@@ -27,6 +27,10 @@ def main() -> None:
     from brainmagick_tpu.native import batch_gather_epochs
     from brainmagick_tpu.ops import dsp
 
+    if "--w2v-only" in sys.argv:
+        bench_wav2vec()
+        return
+
     # -- device resample+highpass: one hour of 273ch MEG @1200Hz ----------
     C, SR_IN, SR_OUT, SECONDS = 273, 1200, 120, 600  # 10 min chunks
     rng = np.random.RandomState(0)

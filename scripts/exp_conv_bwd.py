@@ -57,11 +57,13 @@ def main() -> None:
                      ).astype(jnp.bfloat16)
 
     def fwd(x, w):
+        # pure bf16 conv, like the flax nn.Conv(dtype=bf16) layers (a
+        # preferred_element_type=fp32 output makes the autodiff
+        # transpose mix fp32 cotangents with bf16 kernels and fail)
         return lax.conv_general_dilated(
             x, w, window_strides=(1,), padding=[(pad, pad)],
             rhs_dilation=(dilation,),
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            dimension_numbers=("NWC", "WIO", "NWC"))
 
     def autodiff_dx(x, w, dy):
         _, vjp = jax.vjp(lambda x: fwd(x, w), x)
@@ -72,8 +74,7 @@ def main() -> None:
         return lax.conv_general_dilated(
             dy, w_flip, window_strides=(1,), padding=[(pad, pad)],
             rhs_dilation=(dilation,),
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            dimension_numbers=("NWC", "WIO", "NWC"))
 
     variants = {
         "fwd": lambda x, w, dy: fwd(x, w),
@@ -84,7 +85,7 @@ def main() -> None:
     # correctness: flipconv == autodiff
     ref = np.asarray(autodiff_dx(x, w, dy), dtype=np.float32)
     got = np.asarray(flipconv_dx(x, w, dy), dtype=np.float32)
-    np.testing.assert_allclose(got, ref, atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(got, ref, atol=5e-2, rtol=5e-2)
 
     results = {}
     for name, fn in variants.items():
