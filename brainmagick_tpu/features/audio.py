@@ -371,13 +371,17 @@ class _BaseWav2Vec(base.Feature):
         return torch.from_numpy(wav.astype(np.float32))[None]
 
     def _load_jax_model(self):
-        """Flax port with weights converted from the torch checkpoint."""
+        """Flax port with weights converted from the torch checkpoint.
+        The encoder stack runs under lax.scan (compile time O(1) in
+        depth — the unrolled 24-layer graph takes tens of minutes
+        through a remote compiler)."""
         from ..models.wav2vec2 import (Wav2Vec2Model, config_from_hf,
                                        convert_torch_weights)
         torch_model = self.model
-        cfg = config_from_hf(torch_model.config)
+        cfg = config_from_hf(torch_model.config, scan_layers=True)
         return (Wav2Vec2Model(cfg),
-                {"params": convert_torch_weights(torch_model)})
+                {"params": convert_torch_weights(torch_model,
+                                                 scan_layers=True)})
 
     def _compute_hidden_states(self, name: str, filepath: str, start: float,
                                stop: float,

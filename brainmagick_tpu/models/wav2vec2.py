@@ -38,6 +38,13 @@ class Wav2Vec2Config:
     layer_norm_eps: float = 1e-5
     do_stable_layer_norm: bool = True
     feat_extract_norm: str = "layer"
+    #: lax.scan over the (identical) transformer layers instead of a
+    #: python loop: compile time is O(1) in depth instead of O(L) — the
+    #: unrolled 24-layer graph takes >20 min through this container's
+    #: remote compiler, the scanned one compiles like a single layer.
+    #: Parameters stack on a leading [L] axis (convert_torch_weights
+    #: mirrors this); numerics identical (tests/test_wav2vec2.py).
+    scan_layers: bool = False
 
     @classmethod
     def tiny(cls) -> "Wav2Vec2Config":
@@ -163,6 +170,17 @@ class EncoderLayer(nn.Module):
         return ffn_ln(x + y)
 
 
+class _ScanEncoderLayer(nn.Module):
+    """Scan body: (carry=x, None) -> (layer(x), pre-layer x). Collected
+    ys are HF's per-layer hidden states (pre-layer convention)."""
+    cfg: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x: jax.Array, _: tp.Any
+                 ) -> tp.Tuple[jax.Array, jax.Array]:
+        return EncoderLayer(self.cfg, name="layer")(x), x
+
+
 class Wav2Vec2Model(nn.Module):
     """Returns (last_hidden_state, extract_features, hidden_states) with
     HF semantics: hidden_states[0] is the encoder input (projected
@@ -186,9 +204,19 @@ class Wav2Vec2Model(nn.Module):
             x = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
                              name="encoder_layer_norm")(x)
         hidden_states: tp.Tuple[jax.Array, ...] = ()
-        for k in range(cfg.num_hidden_layers):
-            hidden_states += (x,)
-            x = EncoderLayer(cfg, name=f"layers_{k}")(x)
+        if cfg.scan_layers:
+            scanned = nn.scan(
+                _ScanEncoderLayer,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=cfg.num_hidden_layers)(cfg, name="layers")
+            x, ys = scanned(x, None)
+            hidden_states = tuple(ys[k]
+                                  for k in range(cfg.num_hidden_layers))
+        else:
+            for k in range(cfg.num_hidden_layers):
+                hidden_states += (x,)
+                x = EncoderLayer(cfg, name=f"layers_{k}")(x)
         if cfg.do_stable_layer_norm:
             x = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
                              name="encoder_layer_norm")(x)
@@ -200,8 +228,10 @@ class Wav2Vec2Model(nn.Module):
 # HF torch weight conversion
 # ---------------------------------------------------------------------------
 
-def convert_torch_weights(torch_model) -> dict:
-    """HF transformers Wav2Vec2Model -> flax params for Wav2Vec2Model."""
+def convert_torch_weights(torch_model, scan_layers: bool = False) -> dict:
+    """HF transformers Wav2Vec2Model -> flax params for Wav2Vec2Model.
+    `scan_layers=True` stacks the per-layer parameters on a leading
+    [L] axis (the nn.scan layout of Wav2Vec2Config.scan_layers)."""
     sd = {k: np.asarray(v.detach().cpu().numpy())
           for k, v in torch_model.state_dict().items()}
     p: tp.Dict[str, tp.Any] = {}
@@ -266,11 +296,18 @@ def convert_torch_weights(torch_model) -> dict:
                 base + ".feed_forward.intermediate_dense"),
             "output_dense": dense(base + ".feed_forward.output_dense"),
         }
+    if scan_layers:
+        import jax
+        per_layer = [p.pop(f"layers_{i}") for i in range(n_layers)]
+        p["layers"] = {"layer": jax.tree_util.tree_map(
+            lambda *leaves: np.stack(leaves), *per_layer)}
     return p
 
 
-def config_from_hf(hf_config) -> Wav2Vec2Config:
+def config_from_hf(hf_config, scan_layers: bool = False
+                   ) -> Wav2Vec2Config:
     return Wav2Vec2Config(
+        scan_layers=scan_layers,
         conv_dim=tuple(hf_config.conv_dim),
         conv_kernel=tuple(hf_config.conv_kernel),
         conv_stride=tuple(hf_config.conv_stride),

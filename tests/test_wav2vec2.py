@@ -8,7 +8,8 @@ torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 
 
-def _models(do_stable_layer_norm=True, feat_extract_norm="layer"):
+def _models(do_stable_layer_norm=True, feat_extract_norm="layer",
+            scan_layers=False):
     import jax
 
     from brainmagick_tpu.models.wav2vec2 import (Wav2Vec2Model,
@@ -27,18 +28,24 @@ def _models(do_stable_layer_norm=True, feat_extract_norm="layer"):
     torch.manual_seed(0)
     torch_model = transformers.Wav2Vec2Model(hf_config).eval()
 
-    cfg = config_from_hf(hf_config)
+    cfg = config_from_hf(hf_config, scan_layers=scan_layers)
     flax_model = Wav2Vec2Model(cfg)
-    params = convert_torch_weights(torch_model)
+    params = convert_torch_weights(torch_model, scan_layers=scan_layers)
     return torch_model, flax_model, {"params": params}
 
 
-@pytest.mark.parametrize("stable,norm", [(True, "layer"),
-                                         (False, "group")])
-def test_flax_matches_torch(stable, norm):
+@pytest.mark.parametrize("stable,norm,scan", [
+    (True, "layer", False),
+    (False, "group", False),
+    # lax.scan over the layers (the precompute path's compile-friendly
+    # layout): same numerics, stacked [L] params
+    (True, "layer", True),
+])
+def test_flax_matches_torch(stable, norm, scan):
     import jax.numpy as jnp
 
-    torch_model, flax_model, variables = _models(stable, norm)
+    torch_model, flax_model, variables = _models(stable, norm,
+                                                 scan_layers=scan)
     rng = np.random.RandomState(0)
     wav = rng.randn(2, 800).astype(np.float32)
 
