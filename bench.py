@@ -59,23 +59,27 @@ def _enable_compile_cache() -> None:
 
 
 def _register_bench_feature() -> None:
+    """Defining BenchW2VTarget (below, module level) auto-registers it
+    via Feature.__init_subclass__; nothing left to do — kept for call
+    sites."""
+
+
+def _make_bench_feature():
     """A 1024-dim word feature shaped like the wav2vec embedding track.
 
     Deterministic (sha1-seeded per word) so the feature-track/scaler
     caches stay valid across runs; statistics are unit-normal like a
     standardized embedding, so the scaler and CLIP loss see realistic
-    values. Defined at module level: the scaler cache pickles the
-    fitted BatchScaler, which references the feature class."""
+    values. Defined at module scope with __module__='bench': the
+    scaler cache pickles the fitted BatchScaler, which references this
+    class — the reference must resolve both when bench.py runs as
+    __main__ (the driver) and when another script imports bench
+    (scripts/profile_step.py --shipped)."""
     import hashlib
 
     import numpy as np
 
-    from brainmagick_tpu.features.base import Feature, FeaturesBuilder
-
-    if "BenchW2VTarget" in FeaturesBuilder._FEATURE_CLASSES:
-        return
-
-    global BenchW2VTarget
+    from brainmagick_tpu.features.base import Feature
 
     class BenchW2VTarget(Feature):
         event_kind = "word"
@@ -89,7 +93,17 @@ def _register_bench_feature() -> None:
             return rng.randn(self.dimension).astype(np.float32)
 
     BenchW2VTarget.__qualname__ = "BenchW2VTarget"
-    BenchW2VTarget.__module__ = __name__
+    BenchW2VTarget.__module__ = "bench"
+    return BenchW2VTarget
+
+
+if __name__ == "__main__":
+    # `python bench.py` makes this module __main__; pickle resolves the
+    # class below as bench.BenchW2VTarget, which would otherwise import
+    # a SECOND copy of this file (different class object). Alias first.
+    sys.modules.setdefault("bench", sys.modules["__main__"])
+
+BenchW2VTarget = _make_bench_feature()
 
 
 def build_solver():

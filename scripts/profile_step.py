@@ -142,9 +142,40 @@ def aggregate(trace_dir: str) -> dict:
     }
 
 
+def build_shipped_step():
+    """The SHIPPED solver step via bench.py's fake-study harness
+    (clip_conv_tpu preset incl. fused_head) — profile what production
+    actually runs."""
+    import bench
+    import jax
+    import jax.numpy as jnp
+
+    bench._enable_compile_cache()
+    solver, cfg = bench.build_solver()
+    batch, pad_weight = next(iter(solver.loaders["train"]))
+    arrays = batch.to_device(cfg.parallel.transfer_dtype)
+    pad_w = jnp.asarray(pad_weight)
+    # raw (unjitted) step re-jitted WITHOUT state donation: the profiler
+    # calls it twice with the same buffers
+    raw = solver._build_step(train=True, with_negatives=False,
+                             return_output=False, jit=False)
+
+    @jax.jit
+    def run(state, arrays, na, pad_w, key):
+        new_state, metrics = raw(state, arrays, na, pad_w, None, None,
+                                 key)
+        return new_state, metrics["loss"]
+
+    return run, (solver.state, arrays, solver.norm_arrays, pad_w,
+                 jax.random.PRNGKey(0))
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", default="/tmp/step_profile.json")
+    parser.add_argument("--shipped", action="store_true",
+                        help="profile the shipped Solver step (bench.py "
+                             "harness) instead of the hand-rolled one")
     args = parser.parse_args()
 
     import jax
@@ -154,7 +185,8 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    step, step_args = build_step()
+    step, step_args = (build_shipped_step() if args.shipped
+                       else build_step())
     out = step(*step_args)          # compile + warm
     _ = float(out[-1])
     trace_dir = tempfile.mkdtemp(prefix="steptrace_")
