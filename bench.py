@@ -58,12 +58,6 @@ def _enable_compile_cache() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def _register_bench_feature() -> None:
-    """Defining BenchW2VTarget (below, module level) auto-registers it
-    via Feature.__init_subclass__; nothing left to do — kept for call
-    sites."""
-
-
 def _make_bench_feature():
     """A 1024-dim word feature shaped like the wav2vec embedding track.
 
@@ -113,8 +107,6 @@ def build_solver():
     from brainmagick_tpu import train as bm_train
     from brainmagick_tpu.config import MainConfig, apply_preset
     from brainmagick_tpu.env import env
-
-    _register_bench_feature()
 
     cache = Path(os.environ.get(
         "BM_BENCH_CACHE",

@@ -196,17 +196,10 @@ def build_probs(solver: Solver, preds: np.ndarray, trues: np.ndarray,
 
     # mesh-parallel scoring (see wer.py): pred rows sharded over the
     # devices, candidate blocks replicated; per-process local scoring
-    # on multi-process meshes (each process holds different rows)
-    rep_sharding = row_sharding = None
-    if getattr(solver, "mesh", None) is not None \
-            and jax.process_count() == 1:
-        from jax.sharding import NamedSharding
-        from jax.sharding import PartitionSpec as P
-        rep_sharding = NamedSharding(solver.mesh, P())
-        row_sharding = NamedSharding(solver.mesh,
-                                     P(solver.mesh.axis_names[0]))
-        d = solver.mesh.size
-        batch_size = max(d, batch_size // d * d)
+    # on multi-process meshes (losses.mesh_scoring_setup)
+    from .losses import commit_rows, mesh_scoring_setup
+    rep_sharding, row_sharding, batch_size = mesh_scoring_setup(
+        solver, batch_size)
 
     @jax.jit
     def block_scores(block, cand):
@@ -222,9 +215,7 @@ def build_probs(solver: Solver, preds: np.ndarray, trues: np.ndarray,
             pad = batch_size - len(block)
             if pad:
                 block = np.concatenate([block, block[-1:].repeat(pad, 0)])
-            block_j = jnp.asarray(block)
-            if row_sharding is not None:
-                block_j = jax.device_put(block_j, row_sharding)
+            block_j = commit_rows(block, row_sharding)
             # index into dev_group (no loop variable outliving the
             # group — see wer.py: a leftover block ref would exceed
             # the HBM budget while the next group transfers)

@@ -103,6 +103,9 @@ class _WordEmbeddingBase(Feature):
             vec = nlp(word).vector[:self.dimension]
             if vec.shape[0] == self.dimension and np.any(vec):
                 return np.asarray(vec, dtype=np.float32)
+            # model present, word out of vocabulary (zero vector):
+            # per-word hash stand-in, NOT a missing-model condition
+            return hash_embedding(word, self.dimension)
         _check_fallback(
             self, f"the spacy model for lang={language}",
             f"Install it with `python -m spacy download "

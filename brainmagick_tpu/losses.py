@@ -217,6 +217,34 @@ def iter_device_groups(blocks: tp.Sequence,
         yield i, [put(b) for b in blocks[i:i + group]]
 
 
+def mesh_scoring_setup(solver, chunk: int):
+    """(rep_sharding, row_sharding, chunk) for mesh-parallel retrieval
+    scoring, shared by wer.get_wer and eval.build_probs: estimate/pred
+    rows shard over the mesh, candidate blocks replicate, and the row
+    chunk rounds to a mesh multiple. Multi-process meshes score
+    per-process on local devices (each process holds different pooled
+    rows — the reference's per-rank semantics, bm/wer.py:36-37), so
+    both shardings stay None there, as they do without a mesh."""
+    mesh = getattr(solver, "mesh", None)
+    rep_sharding = row_sharding = None
+    if mesh is not None and jax.process_count() == 1:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+        rep_sharding = NamedSharding(mesh, P())
+        row_sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+        chunk = max(mesh.size, chunk // mesh.size * mesh.size)
+    return rep_sharding, row_sharding, chunk
+
+
+def commit_rows(arr, row_sharding) -> jax.Array:
+    """Device-commit a block of estimate/pred rows, sharded over the
+    mesh when mesh-parallel scoring is active."""
+    x = jnp.asarray(arr)
+    if row_sharding is not None:
+        x = jax.device_put(x, row_sharding)
+    return x
+
+
 def retrieval_scores(clip: ClipLoss, params, estimates: jax.Array,
                      candidates: jax.Array) -> jax.Array:
     """No-grad scoring fast path for offline eval / WER

@@ -125,7 +125,12 @@ class SimpleConv(nn.Module):
         Associativity on the same parameters:
         ``y = ((x A_r^T) W1 + b1) S_s = x (A_r^T W1 S_s) + b1 S_s``
         with one [C_in, dim] matrix per recording (recordings bind the
-        subject, so S_{s(r)} folds in via rec_subjects). W1/b1 are read
+        subject, so S_{s(r)} folds in via rec_subjects — the SOLVER
+        overrides the table with the batch's own (recording, subject)
+        pairs, so even a hand-built batch with a mismatched pair
+        computes with its per-sample subject, like SubjectLayers
+        would; a single batch must not map one recording to two
+        subjects, which real data never does). W1/b1 are read
         out of the SHARED nn.Conv by probing it with identity / zero
         inputs (exact: conv(I)[i] = W1[i] + b1, conv(0) = b1), so the
         parameter tree is identical to the unfused path. Saves ~2/3 of

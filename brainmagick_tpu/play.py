@@ -104,6 +104,16 @@ def get_test_metrics(solver: Solver, trim_offset: int = 0,
             results[metric.name] = metric.reduce(vals)
         else:
             results[metric.name] = np.stack(vals)
+    if reduce:
+        # multi-process meshes: every process streamed only its own
+        # rows — average the reduced scalars like the reference's
+        # all-reduce (bm/solver.py:395; same as wer.py). Unreduced
+        # per-recording arrays stay per-process.
+        from .parallel import average_metrics_across_processes
+        scalar = {k: v for k, v in results.items()
+                  if np.isscalar(v) or getattr(v, "ndim", 1) == 0}
+        results.update(average_metrics_across_processes(
+            {k: float(v) for k, v in scalar.items()}))
     return results
 
 

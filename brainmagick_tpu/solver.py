@@ -361,9 +361,17 @@ class Solver:
                 model_kwargs["rec_positions"] = na["rec_positions"]
                 if getattr(self.model, "fused_head", False) and \
                         na.get("rec_subjects") is not None:
-                    # recordings bind the subject: the fused head folds
-                    # the subject matrix per recording
-                    model_kwargs["rec_subjects"] = na["rec_subjects"]
+                    # recordings bind the subject, so the fused head
+                    # folds the subject matrix per recording — but the
+                    # authoritative binding is THIS batch's own
+                    # (recording -> subject) pairs: a hand-built batch
+                    # (e.g. solver.predict with an arbitrary
+                    # subject_index on recording 0) must compute with
+                    # ITS subject, exactly like per-sample
+                    # SubjectLayers would
+                    model_kwargs["rec_subjects"] = \
+                        na["rec_subjects"].at[rec].set(
+                            arrays["subject_index"])
         out = self.model.apply(
             variables, inputs, arrays["subject_index"],
             arrays["positions"], train=train, **model_kwargs,
@@ -852,18 +860,21 @@ class Solver:
 
     # -- inference ---------------------------------------------------------------
 
-    def _build_forward(self, training: bool):
+    def _build_forward(self, training: bool, use_mesh: bool):
         """Jitted inference forward (no loss): (params, batch_stats,
         arrays, na, pad_weight, rng) -> (estimate, output, mask, keep).
 
-        One compiled function serves both the single-device and the
-        mesh case: the batch arrays arrive committed with their
-        sharding (batch-sharded under a mesh) and XLA partitions the
-        purely batch-wise forward SPMD over the devices — the test
-        stage (WER / streaming metrics / offline eval) keeps every
-        chip busy, where the reference shards test batches by DDP rank
-        (bm/wer.py:36-37, bm/play.py:120-124)."""
-        key = ("forward", training)
+        With `use_mesh` the forward runs under shard_map (batch sharded
+        on the mesh axis, everything else replicated) — the test stage
+        (WER / streaming metrics / offline eval) keeps every chip busy,
+        where the reference shards test batches by DDP rank
+        (bm/wer.py:36-37, bm/play.py:120-124). shard_map (not plain jit
+        over sharded inputs) is REQUIRED on real multi-chip TPUs: the
+        forward contains the Pallas normalize/clamp/peak kernel, and
+        Mosaic kernels cannot be automatically partitioned by GSPMD —
+        they must be manually sharded (the train step wraps its loss in
+        shard_map for the same reason)."""
+        key = ("forward", training, use_mesh)
         if key in self._jit_cache:
             return self._jit_cache[key]
 
@@ -873,6 +884,19 @@ class Solver:
                 train=training)
             return estimate, output, mask, keep
 
+        if use_mesh:
+            from functools import partial as _partial
+
+            from jax.sharding import PartitionSpec as P
+            mesh = self.mesh
+            axis = mesh.axis_names[0]
+            batch_spec = {name: P(axis)
+                          for name in SegmentBatch.ARRAY_FIELDS}
+            fwd = _partial(jax.shard_map, check_vma=False)(
+                fwd, mesh=mesh,
+                in_specs=(P(), P(), batch_spec, P(), P(axis), P()),
+                out_specs=(P(axis), P(axis), P(axis), P(axis)))
+
         jitted = jax.jit(fwd)
         self._jit_cache[key] = jitted
         return jitted
@@ -881,8 +905,11 @@ class Solver:
         """This process's row block of a globally-identical batch:
         slice(0, n) on single-process; the contiguous per-process block
         on a multi-process mesh (parallel.process_rows). Callers align
-        per-row host metadata with the rows forward_batch returns."""
-        if self.mesh is None or jax.process_count() == 1:
+        per-row host metadata with the rows forward_batch returns.
+        Batches that do not divide over mesh/processes run whole
+        (forward_batch bypasses the mesh for them too)."""
+        if (self.mesh is None or jax.process_count() == 1
+                or n_global % self.mesh.size != 0):
             return slice(0, n_global)
         from .parallel import process_rows
         return process_rows(n_global)
@@ -898,21 +925,25 @@ class Solver:
         batch every loader yields: it is reduced to this process's rows
         (solver.local_rows) before the transfer, and the returned
         arrays cover only those rows (reference per-rank semantics,
-        bm/play.py:120-124)."""
+        bm/play.py:120-124). Batches that do not divide over the mesh
+        (e.g. predict's batch of 1) run single-device."""
         if pad_weight is None:
             pad_weight = np.ones(len(batch), dtype=np.float32)
         pad_weight = np.asarray(pad_weight, dtype=np.float32)
-        rows = self.local_rows(len(batch))
-        if (rows.start, rows.stop) != (0, len(batch)):
-            batch = batch[rows]
-            pad_weight = pad_weight[rows]
+        use_mesh = (self.mesh is not None
+                    and len(batch) % self.mesh.size == 0)
+        if use_mesh:
+            rows = self.local_rows(len(batch))
+            if (rows.start, rows.stop) != (0, len(batch)):
+                batch = batch[rows]
+                pad_weight = pad_weight[rows]
         arrays = batch.to_device()
         pad_w = jnp.asarray(pad_weight)
-        if self.mesh is not None:
+        if use_mesh:
             from .parallel import shard_array, shard_batch
             arrays = shard_batch(arrays, self.mesh)
             pad_w = shard_array(pad_w, self.mesh)
-        fwd = self._build_forward(training)
+        fwd = self._build_forward(training, use_mesh)
         estimate, output, mask, keep = fwd(
             self.state["params"], self.state["batch_stats"], arrays,
             self.norm_arrays, pad_w, jax.random.PRNGKey(0))

@@ -118,8 +118,9 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
     # wav2vec candidates are 7-28 GB, more than one chip); each group
     # is scored against every estimate chunk before the next lands.
     # See losses.candidate_blocks for the bf16-pool trade-off.
-    from .losses import candidate_blocks, iter_device_groups, \
-        retrieval_scores
+    from .losses import (candidate_blocks, commit_rows,
+                         iter_device_groups, mesh_scoring_setup,
+                         retrieval_scores)
     cand_block = 2048
     n_fixed = len(fixed_all)
     host_blocks = candidate_blocks(fixed_all, clip.compute_dtype,
@@ -127,25 +128,11 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
 
     # mesh-parallel scoring: estimate rows sharded over the devices,
     # candidate blocks replicated — every chip scores its row slice of
-    # the [chunk, cand_block] contraction. Multi-process meshes keep
-    # scoring per-process on local devices: each process pooled only
-    # its own rows, so its estimate/negative pools differ per process —
-    # exactly the reference's per-rank WER whose metrics are averaged
-    # at the end (bm/wer.py:36-37,121).
-    rep_sharding = row_sharding = None
-    if getattr(solver, "mesh", None) is not None \
-            and jax.process_count() == 1:
-        from jax.sharding import NamedSharding
-        from jax.sharding import PartitionSpec as P
-        rep_sharding = NamedSharding(solver.mesh, P())
-        row_sharding = NamedSharding(solver.mesh,
-                                     P(solver.mesh.axis_names[0]))
-
-    def commit_rows(arr):
-        x = jnp.asarray(arr)
-        if row_sharding is not None:
-            x = jax.device_put(x, row_sharding)
-        return x
+    # the [chunk, cand_block] contraction; per-process local scoring
+    # on multi-process meshes (losses.mesh_scoring_setup). 256-row
+    # chunks: 3.1x the pairs/s of the reference-style 64 (half an MXU
+    # tile; scripts/bench_eval.py M-sweep).
+    rep_sharding, row_sharding, chunk = mesh_scoring_setup(solver, 256)
 
     @jax.jit
     def block_scores(est, cand):
@@ -160,14 +147,6 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
                                     method=clip.get_scores)[0, 0]
         )(est, own)
 
-    # 256-row estimate blocks: the [B, F*T] x [block, F*T] contraction
-    # runs 3.1x faster per pair at B=256 than the reference-style 64
-    # (B=64 fills half an MXU tile; scripts/bench_eval.py M-sweep)
-    chunk = 256
-    if getattr(solver, "mesh", None) is not None:
-        # row-sharded chunks must divide evenly over the mesh
-        d = solver.mesh.size
-        chunk = max(d, chunk // d * d)
     n = len(estimates)
 
     def padded_chunk(arr, lo):
@@ -183,7 +162,7 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
                                             sharding=rep_sharding):
         for lo in range(0, n, chunk):
             est, pad = padded_chunk(estimates, lo)
-            est_j = commit_rows(est)
+            est_j = commit_rows(est, row_sharding)
             # index into dev_group (no loop variable outliving the
             # group: a leftover block ref would keep ~2 GB resident
             # while the next group lands, exceeding the HBM budget)
@@ -198,7 +177,8 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
     for lo in range(0, n, chunk):
         est, pad = padded_chunk(estimates, lo)
         own, _ = padded_chunk(outputs, lo)
-        s = np.asarray(own_scores_fn(commit_rows(est), commit_rows(own)))
+        s = np.asarray(own_scores_fn(commit_rows(est, row_sharding),
+                                     commit_rows(own, row_sharding)))
         scores[lo:lo + chunk - pad, -1] = s[:chunk - pad]
     scores -= scores.max(axis=1, keepdims=True)
     np.exp(scores, out=scores)

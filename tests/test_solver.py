@@ -184,3 +184,36 @@ def test_output_layout_btc_normalized_at_solver_boundary(tmp_cache,
     est2, out2, mask2, keep2 = solver2.process_batch(batch)
     assert est2.shape == est.shape  # [B, F, T] either way
     np.testing.assert_allclose(est2, est, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_fused_head_predict_honors_subject(tmp_cache, tmp_path):
+    """Review regression: a hand-built batch pairing recording 0 with
+    an arbitrary subject_index (solver.predict's contract) must compute
+    with THAT subject's matrix under fused_head too — the solver
+    overrides the per-recording subject table with the batch's own
+    (recording, subject) pairs."""
+    args = tiny_args(tmp_cache, tmp_path, loss="mse", task="decode",
+                     features=("WordLength",), epochs=1)
+    args.simpleconv.update(fused_head=True)
+    solver = bm_train.get_solver(args)
+
+    args2 = tiny_args(tmp_cache, tmp_path, loss="mse", task="decode",
+                      features=("WordLength",), epochs=1)
+    solver2 = bm_train.get_solver(args2)
+    assert not args2.simpleconv["fused_head"]
+    # identical param trees across the flag: share the state
+    solver2.state = solver.state
+
+    feats = solver.datasets.test[0].features[:1]  # [1, T]
+    preds = {}
+    for subj in (0, 1):
+        e_fused = solver.predict(features=feats, subject_index=subj,
+                                 recording_index=0)
+        e_ref = solver2.predict(features=feats, subject_index=subj,
+                                recording_index=0)
+        np.testing.assert_allclose(e_fused, e_ref, atol=2e-4,
+                                   rtol=2e-4)
+        preds[subj] = e_fused
+    # and the subject actually matters
+    assert not np.allclose(preds[0], preds[1], atol=1e-5)
