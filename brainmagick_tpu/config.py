@@ -71,6 +71,14 @@ class TestEvalConfig:
     wer_random: bool = False
     wer_recordings: int = 40
     wer_study: tp.Optional[str] = None
+    #: int8-quantized WER/eval candidate pools (per-candidate symmetric;
+    #: the dequant scale cancels out of the norm-folded score). v5e's
+    #: int8 MXU doubles the scoring rate over bf16 and halves the pool
+    #: stream/HBM again; scores carry ~1-2% zero-mean quantization noise
+    #: relative to their own spread, so retrieval metrics move only on
+    #: near-ties (extension — the reference has no equivalent; keep
+    #: False when bit-matching reference eval numbers).
+    pool_int8: bool = False
 
 
 @dataclass

@@ -33,8 +33,9 @@ import pandas as pd
 
 from .dataset import ConcatDataset
 from .features.basic import stable_word_hash
-from .losses import (ClipLoss, candidate_blocks, iter_device_groups,
-                     retrieval_scores)
+from .losses import (ClipLoss, candidate_blocks, int8_retrieval_ok,
+                     iter_device_groups, retrieval_scores,
+                     retrieval_scores_int8)
 from .solver import Solver
 from .utils import write_and_rename
 
@@ -192,7 +193,10 @@ def build_probs(solver: Solver, preds: np.ndarray, trues: np.ndarray,
     # for the bf16-pool trade-off.
     cand_block = 2048
     n_cand = len(trues)
-    host_blocks = candidate_blocks(trues, clip.compute_dtype, cand_block)
+    use_int8 = (bool(getattr(solver.args.test, "pool_int8", False))
+                and int8_retrieval_ok(clip))
+    host_blocks = candidate_blocks(trues, clip.compute_dtype, cand_block,
+                                   int8=use_int8)
 
     # mesh-parallel scoring (see wer.py): pred rows sharded over the
     # devices, candidate blocks replicated; per-process local scoring
@@ -203,6 +207,8 @@ def build_probs(solver: Solver, preds: np.ndarray, trues: np.ndarray,
 
     @jax.jit
     def block_scores(block, cand):
+        if use_int8:  # int8 MXU pool scoring (test.pool_int8)
+            return retrieval_scores_int8(block, cand)
         # Pallas blocked GEMM fast path (XLA einsum fallback for
         # trim/transform configs) — losses.retrieval_scores
         return retrieval_scores(clip, loss_params, block, cand)

@@ -170,7 +170,8 @@ class ClipLoss(nn.Module):
 
 
 def candidate_blocks(pool, compute_dtype: tp.Optional[str],
-                     block_size: int = 2048) -> tp.List:
+                     block_size: int = 2048,
+                     int8: bool = False) -> tp.List:
     """Zero-padded HOST-side candidate blocks in the score compute dtype.
 
     Host-side (numpy) on purpose: committing every block to the device
@@ -190,8 +191,88 @@ def candidate_blocks(pool, compute_dtype: tp.Optional[str],
         if pad:
             block = np.concatenate(
                 [block, np.zeros_like(block[:1]).repeat(pad, 0)])
+        if int8:
+            # Per-candidate symmetric int8 (v5e int8 MXU runs at 2x the
+            # bf16 rate and the pool stream/HBM halve again vs bf16).
+            # The dequant scale CANCELS out of the norm-folded score —
+            # score_o = est . (s_o q_o) / ||s_o q_o|| = est . q_o /
+            # ||q_o|| — so quantized blocks carry no scale array and
+            # iter_device_groups handles them unchanged. Scoring side:
+            # retrieval_scores_int8.
+            block = block.astype(np.float32)
+            amax = np.abs(block).reshape(len(block), -1).max(axis=1)
+            scale = np.maximum(amax / 127.0, 1e-12)
+            q = np.rint(block / scale.reshape(-1, *([1] * (block.ndim - 1))))
+            blocks.append(np.clip(q, -127, 127).astype(np.int8))
+            continue
         blocks.append(block.astype(dtype) if dtype is not None else block)
     return blocks
+
+
+def int8_retrieval_ok(clip: "ClipLoss") -> bool:
+    """int8 pool scoring covers the fast-path configuration only (no
+    learned projection / pooling / centering / trim window — the same
+    condition as retrieval_scores' flattened contraction)."""
+    return not (clip.linear or clip.pool or clip.center
+                or clip.tmin is not None or clip.tmax is not None)
+
+
+def _int8_quantize_rows(x2: jax.Array) -> tp.Tuple[jax.Array, jax.Array]:
+    """Per-row symmetric int8 over flattened rows: [N, K] float ->
+    (int8 [N, K], fp32 scale [N]) with x ~= scale[:, None] * q."""
+    x2 = x2.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(x2), axis=1) / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(x2 / s[:, None]), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def retrieval_scores_int8(estimates: jax.Array,
+                          cand_q: jax.Array) -> jax.Array:
+    """No-grad scoring against an int8-quantized candidate block
+    (candidate_blocks(int8=True)): same math as retrieval_scores up to
+    the quantization of both operands.
+
+    The estimate rows are quantized on device per row; the row scale
+    multiplies the whole score row (softmax is not row-scale invariant,
+    so it cannot cancel like the candidate scale does). The int8 x int8
+    contraction accumulates in int32 on the MXU; the K axis is split so
+    a fully-correlated max-magnitude pair cannot overflow int32
+    (127^2 * K_chunk < 2^31), then the partial sums combine in fp32.
+    Candidate norms come from the quantized values in fp32 — matched
+    quantization between the scores and the norms that scale them, as
+    in the bf16 path (see get_scores).
+    """
+    e2 = estimates.reshape(estimates.shape[0], -1)
+    c2 = cand_q.reshape(cand_q.shape[0], -1)
+    e_q, s_e = _int8_quantize_rows(e2)
+    k = e2.shape[1]
+    # largest K chunk whose worst-case accumulator fits int32
+    k_chunk = (2 ** 31 - 1) // (127 * 127)
+    acc = None
+    for lo in range(0, k, k_chunk):
+        part = jax.lax.dot_general(
+            e_q[:, lo:lo + k_chunk], c2[:, lo:lo + k_chunk],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        acc = part if acc is None else acc + part
+    cf = c2.astype(jnp.float32)
+    inv_norms = 1 / (1e-8 + jnp.sqrt(jnp.sum(cf * cf, axis=1)))
+    return acc * s_e[:, None] * inv_norms[None, :]
+
+
+def own_scores_int8(est: jax.Array, own: jax.Array) -> jax.Array:
+    """Row-wise own-output scores with BOTH sides int8-quantized, so the
+    own column of the WER softmax sees the same quantization noise as
+    its pool competitors (wer.get_wer pass 2 under test.pool_int8)."""
+    e2 = est.reshape(est.shape[0], -1)
+    o2 = own.reshape(own.shape[0], -1)
+    e_q, s_e = _int8_quantize_rows(e2)
+    o_q, _ = _int8_quantize_rows(o2)
+    ef = e_q.astype(jnp.float32)
+    of = o_q.astype(jnp.float32)
+    acc = jnp.sum(ef * of, axis=1)
+    inv = 1 / (1e-8 + jnp.sqrt(jnp.sum(of * of, axis=1)))
+    return acc * s_e * inv
 
 
 def iter_device_groups(blocks: tp.Sequence,

@@ -118,13 +118,16 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
     # wav2vec candidates are 7-28 GB, more than one chip); each group
     # is scored against every estimate chunk before the next lands.
     # See losses.candidate_blocks for the bf16-pool trade-off.
-    from .losses import (candidate_blocks, commit_rows,
+    from .losses import (candidate_blocks, commit_rows, int8_retrieval_ok,
                          iter_device_groups, mesh_scoring_setup,
-                         retrieval_scores)
+                         own_scores_int8, retrieval_scores,
+                         retrieval_scores_int8)
     cand_block = 2048
     n_fixed = len(fixed_all)
+    use_int8 = (bool(getattr(test_args, "pool_int8", False))
+                and int8_retrieval_ok(clip))
     host_blocks = candidate_blocks(fixed_all, clip.compute_dtype,
-                                   cand_block)
+                                   cand_block, int8=use_int8)
 
     # mesh-parallel scoring: estimate rows sharded over the devices,
     # candidate blocks replicated — every chip scores its row slice of
@@ -136,12 +139,18 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
 
     @jax.jit
     def block_scores(est, cand):
+        if use_int8:  # int8 MXU pool scoring (test.pool_int8)
+            return retrieval_scores_int8(est, cand)
         # Pallas blocked GEMM fast path (XLA einsum fallback for
         # trim/transform configs) — losses.retrieval_scores
         return retrieval_scores(clip, loss_params, est, cand)
 
     @jax.jit
     def own_scores_fn(est, own):
+        if use_int8:
+            # both sides quantized so the own column competes under the
+            # same noise as the pool columns (losses.own_scores_int8)
+            return own_scores_int8(est, own)
         return jax.vmap(
             lambda e, o: clip.apply(loss_params, e[None], o[None],
                                     method=clip.get_scores)[0, 0]

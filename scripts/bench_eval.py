@@ -92,7 +92,7 @@ def main() -> None:
     def einsum_path(p, c):
         return clip32.apply({}, p, c, method=clip32.get_scores)
 
-    sel = sys.argv[1:] or ["einsum", "flat32", "flat16"]
+    sel = sys.argv[1:] or ["einsum", "flat32", "flat16", "int8"]
     if "einsum" in sel:
         bench(einsum_path, preds, cands, "einsum_fp32")
     if "flat32" in sel:
@@ -103,6 +103,17 @@ def main() -> None:
         # pool is STORED in bf16 (halves its HBM/stream footprint)
         bench(lambda p, c: retrieval_scores(clip16, {}, p, c),
               preds, cands.astype(jnp.bfloat16), "retrieval_bf16pool")
+    if "int8" in sel:
+        # test.pool_int8: int8-quantized pool, int8 MXU contraction
+        # (quantize on device here — the pool never leaves the chip in
+        # this bench; eval.build_probs quantizes host-side)
+        from brainmagick_tpu.losses import (_int8_quantize_rows,
+                                            retrieval_scores_int8)
+        q, _ = _int8_quantize_rows(cands.reshape(BLOCK, -1))
+        cands_q = q.reshape(BLOCK, F, T)
+        _ = float(cands_q.sum())
+        bench(lambda p, c: retrieval_scores_int8(p, c),
+              preds, cands_q, "retrieval_int8pool")
 
 
 if __name__ == "__main__":
