@@ -187,7 +187,17 @@ def main() -> None:
         loss0 = jnp.zeros((), jnp.float32)
         return jax.lax.fori_loop(0, CHUNK, body, (state, loss0))
 
-    chunk = jax.jit(train_chunk, donate_argnums=(0,))
+    # the solver's own step-compile options (scoped-VMEM cap — measured
+    # ~6% on the paper step, doc/perf_playbook.md); BM_BENCH_COMPILER_
+    # OPTIONS overrides for A/B sweeps ('{}' for compiler defaults).
+    # Shell XLA_FLAGS does NOT reach this container's relayed compile
+    # server; PJRT per-compile options do.
+    from brainmagick_tpu.parallel import step_compiler_options
+    copts_env = os.environ.get("BM_BENCH_COMPILER_OPTIONS")
+    copts = (json.loads(copts_env) if copts_env
+             else step_compiler_options(args))
+    chunk = jax.jit(train_chunk, donate_argnums=(0,),
+                    compiler_options=copts or None)
 
     key = jax.random.PRNGKey(0)
     # compile + warmup. Sync via a host transfer of the scalar loss —

@@ -225,6 +225,11 @@ class ParallelConfig:
     #: cast meg/features to this dtype for the host->device transfer
     #: (e.g. 'bfloat16' halves wire bytes; compute upcasts on device)
     transfer_dtype: tp.Optional[str] = None
+    #: XLA scoped-VMEM cap (KiB) for the step compiles, TPU backends
+    #: only (parallel.step_compiler_options). 64 MiB measured ~6%
+    #: faster than the compiler default on the v5e paper step
+    #: (bench.py sweep, doc/perf_playbook.md); None = compiler default
+    scoped_vmem_limit_kib: tp.Optional[int] = 65536
 
 
 @dataclass

@@ -597,7 +597,9 @@ class Solver:
 
         if not jit:
             return step
-        jitted = jax.jit(step, donate_argnums=(0,) if train else ())
+        from .parallel import step_compiler_options
+        jitted = jax.jit(step, donate_argnums=(0,) if train else (),
+                         compiler_options=step_compiler_options(self.args))
         self._jit_cache[key] = jitted
         return jitted
 
@@ -897,7 +899,9 @@ class Solver:
                 in_specs=(P(), P(), batch_spec, P(), P(axis), P()),
                 out_specs=(P(axis), P(axis), P(axis), P(axis)))
 
-        jitted = jax.jit(fwd)
+        from .parallel import step_compiler_options
+        jitted = jax.jit(fwd,
+                         compiler_options=step_compiler_options(self.args))
         self._jit_cache[key] = jitted
         return jitted
 
