@@ -33,9 +33,9 @@ import pandas as pd
 
 from .dataset import ConcatDataset
 from .features.basic import stable_word_hash
-from .losses import (ClipLoss, candidate_blocks, int8_retrieval_ok,
-                     iter_device_groups, retrieval_scores,
-                     retrieval_scores_int8)
+from .losses import (ClipLoss, block_inv_norms, candidate_blocks,
+                     int8_retrieval_ok, iter_device_groups,
+                     retrieval_scores, retrieval_scores_int8)
 from .solver import Solver
 from .utils import write_and_rename
 
@@ -164,7 +164,7 @@ def load_test_data(solver: Solver, batch_size: tp.Optional[int] = None,
 
 
 def build_probs(solver: Solver, preds: np.ndarray, trues: np.ndarray,
-                batch_size: int = 256,
+                batch_size: int = 2048,
                 tmin: tp.Optional[float] = None,
                 tmax: tp.Optional[float] = None) -> np.ndarray:
     """[N_pred, N_true] probability matrix via blocked CLIP scoring on
@@ -205,17 +205,25 @@ def build_probs(solver: Solver, preds: np.ndarray, trues: np.ndarray,
     rep_sharding, row_sharding, batch_size = mesh_scoring_setup(
         solver, batch_size)
 
+    fast = int8_retrieval_ok(clip)
+
     @jax.jit
-    def block_scores(block, cand):
+    def block_scores(block, cand, inv):
         if use_int8:  # int8 MXU pool scoring (test.pool_int8)
-            return retrieval_scores_int8(block, cand)
+            return retrieval_scores_int8(block, cand, inv)
         # Pallas blocked GEMM fast path (XLA einsum fallback for
         # trim/transform configs) — losses.retrieval_scores
-        return retrieval_scores(clip, loss_params, block, cand)
+        return retrieval_scores(clip, loss_params, block, cand,
+                                inv_norms=inv)
+
+    norms_fn = jax.jit(block_inv_norms)
 
     scores = np.empty((len(preds), n_cand), dtype=np.float32)
     for g0, dev_group in iter_device_groups(host_blocks,
                                             sharding=rep_sharding):
+        # candidate norms once per transferred block, not once per pred
+        # chunk (losses.block_inv_norms — saves a pool read per chunk)
+        group_norms = [norms_fn(b) if fast else None for b in dev_group]
         for lo in range(0, len(preds), batch_size):
             block = preds[lo:lo + batch_size]
             pad = batch_size - len(block)
@@ -228,7 +236,8 @@ def build_probs(solver: Solver, preds: np.ndarray, trues: np.ndarray,
             for bi in range(len(dev_group)):
                 c0 = (g0 + bi) * cand_block
                 c1 = min(c0 + cand_block, n_cand)
-                s = np.asarray(block_scores(block_j, dev_group[bi]))
+                s = np.asarray(block_scores(block_j, dev_group[bi],
+                                            group_norms[bi]))
                 scores[lo:lo + batch_size - pad, c0:c1] = \
                     s[:batch_size - pad, :c1 - c0]
         del dev_group
@@ -250,7 +259,7 @@ def accuracy_from_probs(probs: np.ndarray, target_labels: np.ndarray,
 
 
 def run_eval(solver: Solver, output_dir: tp.Union[str, Path],
-             n_negatives: int = 20_000, probs_batch_size: int = 256,
+             n_negatives: int = 20_000, probs_batch_size: int = 2048,
              n_recordings: tp.Optional[int] = None,
              test_study: tp.Optional[str] = None) -> pd.DataFrame:
     """Full offline evaluation; writes solver_config.yaml,

