@@ -156,11 +156,15 @@ def build_shipped_step():
     arrays = batch.to_device(cfg.parallel.transfer_dtype)
     pad_w = jnp.asarray(pad_weight)
     # raw (unjitted) step re-jitted WITHOUT state donation: the profiler
-    # calls it twice with the same buffers
+    # calls it twice with the same buffers. Same compile options as the
+    # shipped jit (scoped-VMEM cap) so the profile matches production.
+    from functools import partial as _partial
+
+    from brainmagick_tpu.parallel import step_compiler_options
     raw = solver._build_step(train=True, with_negatives=False,
                              return_output=False, jit=False)
 
-    @jax.jit
+    @_partial(jax.jit, compiler_options=step_compiler_options(cfg))
     def run(state, arrays, na, pad_w, key):
         new_state, metrics = raw(state, arrays, na, pad_w, None, None,
                                  key)
