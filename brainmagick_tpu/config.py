@@ -230,6 +230,13 @@ class ParallelConfig:
     #: faster than the compiler default on the v5e paper step
     #: (bench.py sweep, doc/perf_playbook.md); None = compiler default
     scoped_vmem_limit_kib: tp.Optional[int] = 65536
+    #: ring-pass WER/eval scoring on single-process meshes: the
+    #: candidate pool shards over the devices and rotates over the ICI
+    #: ring (losses.ring_scores) instead of replicating every streamed
+    #: block on every chip — host-link pool traffic drops n_dev-fold.
+    #: Falls back to streaming when the pool exceeds per-device HBM,
+    #: for transform/int8 configs, and on multi-process pods
+    ring_scoring: bool = False
 
 
 @dataclass

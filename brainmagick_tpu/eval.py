@@ -195,13 +195,11 @@ def build_probs(solver: Solver, preds: np.ndarray, trues: np.ndarray,
     n_cand = len(trues)
     use_int8 = (bool(getattr(solver.args.test, "pool_int8", False))
                 and int8_retrieval_ok(clip))
-    host_blocks = candidate_blocks(trues, clip.compute_dtype, cand_block,
-                                   int8=use_int8)
 
     # mesh-parallel scoring (see wer.py): pred rows sharded over the
     # devices, candidate blocks replicated; per-process local scoring
     # on multi-process meshes (losses.mesh_scoring_setup)
-    from .losses import commit_rows, mesh_scoring_setup
+    from .losses import commit_rows, maybe_ring_scores, mesh_scoring_setup
     rep_sharding, row_sharding, batch_size = mesh_scoring_setup(
         solver, batch_size)
 
@@ -219,28 +217,41 @@ def build_probs(solver: Solver, preds: np.ndarray, trues: np.ndarray,
     norms_fn = jax.jit(block_inv_norms)
 
     scores = np.empty((len(preds), n_cand), dtype=np.float32)
-    for g0, dev_group in iter_device_groups(host_blocks,
-                                            sharding=rep_sharding):
-        # candidate norms once per transferred block, not once per pred
-        # chunk (losses.block_inv_norms — saves a pool read per chunk)
-        group_norms = [norms_fn(b) if fast else None for b in dev_group]
-        for lo in range(0, len(preds), batch_size):
-            block = preds[lo:lo + batch_size]
-            pad = batch_size - len(block)
-            if pad:
-                block = np.concatenate([block, block[-1:].repeat(pad, 0)])
-            block_j = commit_rows(block, row_sharding)
-            # index into dev_group (no loop variable outliving the
-            # group — see wer.py: a leftover block ref would exceed
-            # the HBM budget while the next group transfers)
-            for bi in range(len(dev_group)):
-                c0 = (g0 + bi) * cand_block
-                c1 = min(c0 + cand_block, n_cand)
-                s = np.asarray(block_scores(block_j, dev_group[bi],
-                                            group_norms[bi]))
-                scores[lo:lo + batch_size - pad, c0:c1] = \
-                    s[:batch_size - pad, :c1 - c0]
-        del dev_group
+    # ring mode (parallel.ring_scoring): candidate pool sharded over
+    # the mesh and rotated over the ICI ring — one host->device pool
+    # transfer total instead of one per device (losses.ring_scores)
+    ring = maybe_ring_scores(solver, clip, use_int8, preds, trues)
+    if ring is not None:
+        scores[:] = ring
+        del ring
+    else:
+        host_blocks = candidate_blocks(trues, clip.compute_dtype,
+                                       cand_block, int8=use_int8)
+        for g0, dev_group in iter_device_groups(host_blocks,
+                                                sharding=rep_sharding):
+            # candidate norms once per transferred block, not once per
+            # pred chunk (losses.block_inv_norms — saves a pool read
+            # per chunk)
+            group_norms = [norms_fn(b) if fast else None
+                           for b in dev_group]
+            for lo in range(0, len(preds), batch_size):
+                block = preds[lo:lo + batch_size]
+                pad = batch_size - len(block)
+                if pad:
+                    block = np.concatenate(
+                        [block, block[-1:].repeat(pad, 0)])
+                block_j = commit_rows(block, row_sharding)
+                # index into dev_group (no loop variable outliving the
+                # group — see wer.py: a leftover block ref would exceed
+                # the HBM budget while the next group transfers)
+                for bi in range(len(dev_group)):
+                    c0 = (g0 + bi) * cand_block
+                    c1 = min(c0 + cand_block, n_cand)
+                    s = np.asarray(block_scores(block_j, dev_group[bi],
+                                                group_norms[bi]))
+                    scores[lo:lo + batch_size - pad, c0:c1] = \
+                        s[:batch_size - pad, :c1 - c0]
+            del dev_group
     scores -= scores.max(axis=1, keepdims=True)
     np.exp(scores, out=scores)
     scores /= scores.sum(axis=1, keepdims=True)

@@ -327,6 +327,126 @@ def commit_rows(arr, row_sharding) -> jax.Array:
     return x
 
 
+def ring_scores(mesh, estimates, pool,
+                compute_dtype: tp.Optional[str] = None):
+    """Whole-pool retrieval scores with the candidate pool SHARDED over
+    the mesh and rotated over the ICI ring (jax.lax.ppermute) — the
+    classic ring-matmul layout (SURVEY.md §2.4's ICI-native recipe).
+
+    vs the default streamed mode (estimate rows sharded, every
+    candidate block REPLICATED on all devices): the pool crosses the
+    host->device link once in 1/n_dev-sized shards and then rides ICI,
+    so host-link traffic for a 20k-candidate wav2vec pool drops
+    n_dev-fold (14 GB bf16 instead of 8 x 14 GB on a v5e-8), and
+    per-device HBM holds pool/n_dev instead of the streamed group
+    budget. Estimate rows stay row-sharded; each device scores its row
+    block against every pool shard after n_dev rotations, so the
+    result assembles with no host reshuffle.
+
+    Exact same math as retrieval_scores (norm-folded scores from the
+    compute-dtype values; fp32 accumulation). [n, C, T] x [P, C, T] ->
+    [n, P] fp32. Rows/pool pad to mesh multiples internally; padded
+    score entries are returned (callers slice). Single-process meshes
+    only — multi-process pods keep per-rank pools (reference
+    semantics).
+    """
+    import numpy as np
+
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    size = mesh.size
+    axis = mesh.axis_names[0]
+    cd = jnp.dtype(compute_dtype) if compute_dtype is not None else None
+
+    def pad_rows(x, mult):
+        pad = (-len(x)) % mult
+        if pad:
+            x = np.concatenate([x, np.zeros_like(x[:1]).repeat(pad, 0)])
+        return x
+
+    est = pad_rows(np.asarray(estimates), size)
+    cand = pad_rows(np.asarray(pool), size)
+    if cd is not None:
+        est = est.astype(cd)
+        cand = cand.astype(cd)
+    n, p = len(est), len(cand)
+    e2 = est.reshape(n, -1)
+    c2 = cand.reshape(p, -1)
+
+    row_sh = NamedSharding(mesh, P(axis))
+    e_l = jax.device_put(e2, row_sh)
+    c_l = jax.device_put(c2, row_sh)  # pool SHARDED, not replicated
+    p_shard = p // size
+    perm = [(i, (i - 1) % size) for i in range(size)]
+
+    def body(e_loc, c_loc):
+        me = jax.lax.axis_index(axis)
+        inv0 = block_inv_norms(c_loc)
+        out = jnp.zeros((e_loc.shape[0], p), jnp.float32)
+
+        def step(t, carry):
+            out, c_cur, inv_cur = carry
+            blk = jax.lax.dot_general(
+                e_loc, c_cur, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * inv_cur[None, :]
+            # after t left-rotations, this device holds the shard that
+            # started on device (me + t) % size
+            origin = (me + t) % size
+            out = jax.lax.dynamic_update_slice(
+                out, blk, (0, origin * p_shard))
+            c_nxt = jax.lax.ppermute(c_cur, axis, perm)
+            inv_nxt = jax.lax.ppermute(inv_cur, axis, perm)
+            return out, c_nxt, inv_nxt
+
+        out, _, _ = jax.lax.fori_loop(0, size, step, (out, c_loc, inv0))
+        return out
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=P(axis), check_vma=False))
+    return fn(e_l, c_l)
+
+
+def maybe_ring_scores(solver, clip: "ClipLoss", use_int8: bool,
+                      estimates, pool,
+                      budget_bytes: int = 4 << 30):
+    """Dispatch to `ring_scores` when parallel.ring_scoring is on and
+    the configuration qualifies, else return None (caller keeps the
+    streamed path). Returns the host [len(estimates), len(pool)] fp32
+    score matrix, already sliced to the unpadded shapes.
+
+    Qualifies = single-process mesh with >1 device, fast-path ClipLoss
+    (no trim/transform — the same condition as retrieval_scores'
+    flattened contraction), no int8 pool, and per-device residency
+    (pool shard + estimate shard + fp32 out rows) under
+    `budget_bytes`."""
+    import numpy as np
+
+    args = getattr(solver, "args", None)
+    par = getattr(args, "parallel", None) if args is not None else None
+    if par is None or not getattr(par, "ring_scoring", False):
+        return None
+    mesh = getattr(solver, "mesh", None)
+    if mesh is None or mesh.size < 2 or jax.process_count() > 1:
+        return None
+    if use_int8 or not int8_retrieval_ok(clip):
+        return None
+    est = np.asarray(estimates)
+    cand = np.asarray(pool)
+    if not len(est) or not len(cand):
+        return None
+    itemsize = (jnp.dtype(clip.compute_dtype).itemsize
+                if clip.compute_dtype is not None else cand.itemsize)
+    k = int(np.prod(cand.shape[1:]))
+    n, p = len(est), len(cand)
+    per_dev = (p * k * itemsize + n * k * itemsize + n * p * 4) / mesh.size
+    if per_dev > budget_bytes:
+        return None
+    out = ring_scores(mesh, est, cand, clip.compute_dtype)
+    return np.asarray(out)[:n, :p]
+
+
 def block_inv_norms(block: jax.Array) -> jax.Array:
     """Per-candidate inverse norms of a (possibly bf16/int8-quantized)
     candidate block, fp32-accumulated — the same values

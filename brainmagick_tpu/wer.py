@@ -120,14 +120,13 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
     # See losses.candidate_blocks for the bf16-pool trade-off.
     from .losses import (block_inv_norms, candidate_blocks, commit_rows,
                          int8_retrieval_ok, iter_device_groups,
-                         mesh_scoring_setup, own_scores_int8,
-                         retrieval_scores, retrieval_scores_int8)
+                         maybe_ring_scores, mesh_scoring_setup,
+                         own_scores_int8, retrieval_scores,
+                         retrieval_scores_int8)
     cand_block = 2048
     n_fixed = len(fixed_all)
     use_int8 = (bool(getattr(test_args, "pool_int8", False))
                 and int8_retrieval_ok(clip))
-    host_blocks = candidate_blocks(fixed_all, clip.compute_dtype,
-                                   cand_block, int8=use_int8)
 
     # mesh-parallel scoring: estimate rows sharded over the devices,
     # candidate blocks replicated — every chip scores its row slice of
@@ -170,27 +169,39 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
             part = np.concatenate([part, part[-1:].repeat(pad, 0)])
         return part, pad
 
-    # pass 1: fixed-pool scores, group-streamed through the device
+    # pass 1: fixed-pool scores. Ring mode (parallel.ring_scoring):
+    # pool sharded over the mesh and rotated over the ICI ring — one
+    # host->device pool transfer total instead of one per device
+    # (losses.ring_scores). Otherwise group-streamed through the device
+    # with replicated blocks.
     scores = np.empty((n, n_fixed + 1), dtype=np.float32)
-    for g0, dev_group in iter_device_groups(host_blocks,
-                                            sharding=rep_sharding):
-        # candidate norms once per transferred block, not once per
-        # estimate chunk (losses.block_inv_norms)
-        group_norms = [norms_fn(b) if fast else None for b in dev_group]
-        for lo in range(0, n, chunk):
-            est, pad = padded_chunk(estimates, lo)
-            est_j = commit_rows(est, row_sharding)
-            # index into dev_group (no loop variable outliving the
-            # group: a leftover block ref would keep ~2 GB resident
-            # while the next group lands, exceeding the HBM budget)
-            for bi in range(len(dev_group)):
-                c0 = (g0 + bi) * cand_block
-                c1 = min(c0 + cand_block, n_fixed)
-                s = np.asarray(block_scores(est_j, dev_group[bi],
-                                            group_norms[bi]))
-                scores[lo:lo + chunk - pad, c0:c1] = \
-                    s[:chunk - pad, :c1 - c0]
-        del dev_group
+    ring = maybe_ring_scores(solver, clip, use_int8, estimates, fixed_all)
+    if ring is not None:
+        scores[:, :n_fixed] = ring
+        del ring
+    else:
+        host_blocks = candidate_blocks(fixed_all, clip.compute_dtype,
+                                       cand_block, int8=use_int8)
+        for g0, dev_group in iter_device_groups(host_blocks,
+                                                sharding=rep_sharding):
+            # candidate norms once per transferred block, not once per
+            # estimate chunk (losses.block_inv_norms)
+            group_norms = [norms_fn(b) if fast else None
+                           for b in dev_group]
+            for lo in range(0, n, chunk):
+                est, pad = padded_chunk(estimates, lo)
+                est_j = commit_rows(est, row_sharding)
+                # index into dev_group (no loop variable outliving the
+                # group: a leftover block ref would keep ~2 GB resident
+                # while the next group lands, exceeding the HBM budget)
+                for bi in range(len(dev_group)):
+                    c0 = (g0 + bi) * cand_block
+                    c1 = min(c0 + cand_block, n_fixed)
+                    s = np.asarray(block_scores(est_j, dev_group[bi],
+                                                group_norms[bi]))
+                    scores[lo:lo + chunk - pad, c0:c1] = \
+                        s[:chunk - pad, :c1 - c0]
+            del dev_group
     # pass 2: each row's own-output score fills the last column
     for lo in range(0, n, chunk):
         est, pad = padded_chunk(estimates, lo)

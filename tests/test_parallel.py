@@ -286,3 +286,91 @@ def test_mesh_parallel_streaming_metrics(tmp_cache, tmp_path):
     for key in m1:
         np.testing.assert_allclose(m8[key], m1[key], atol=1e-5,
                                    rtol=1e-5)
+
+
+def test_ring_scores_matches_streamed():
+    """Ring-pass scoring (pool sharded + rotated over the ICI ring,
+    losses.ring_scores) equals the replicated-block fast path
+    (losses.retrieval_scores) exactly — including the internal padding
+    when neither rows nor pool divide the mesh."""
+    import jax
+    from brainmagick_tpu.losses import ClipLoss, retrieval_scores, \
+        ring_scores
+
+    mesh = make_mesh(8)
+    rng = np.random.RandomState(0)
+    n, p, c, t = 13, 21, 4, 6  # neither divides 8 -> padding path
+    est = rng.randn(n, c, t).astype(np.float32)
+    pool = rng.randn(p, c, t).astype(np.float32)
+
+    for cd in (None, "bfloat16"):
+        clip = ClipLoss(compute_dtype=cd)
+        ref = np.asarray(retrieval_scores(
+            clip, {"params": {}},
+            est.astype(cd) if cd else est,
+            pool.astype(cd) if cd else pool))
+        got = np.asarray(ring_scores(mesh, est, pool, cd))[:n, :p]
+        np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_maybe_ring_scores_dispatch():
+    """The dispatcher engages only for the qualifying configuration:
+    flag on, single-process multi-device mesh, fast-path clip, no
+    int8."""
+    import types
+
+    from brainmagick_tpu.config import ParallelConfig
+    from brainmagick_tpu.losses import ClipLoss, maybe_ring_scores
+
+    rng = np.random.RandomState(1)
+    est = rng.randn(6, 3, 4).astype(np.float32)
+    pool = rng.randn(9, 3, 4).astype(np.float32)
+    clip = ClipLoss()
+
+    def fake_solver(flag, mesh):
+        args = types.SimpleNamespace(parallel=ParallelConfig(
+            ring_scoring=flag))
+        return types.SimpleNamespace(args=args, mesh=mesh)
+
+    mesh = make_mesh(8)
+    assert maybe_ring_scores(fake_solver(False, mesh), clip, False,
+                             est, pool) is None  # flag off
+    assert maybe_ring_scores(fake_solver(True, None), clip, False,
+                             est, pool) is None  # no mesh
+    assert maybe_ring_scores(fake_solver(True, mesh), clip, True,
+                             est, pool) is None  # int8 pool
+    trimmed = ClipLoss(tmin=0.0)  # not the fast path
+    assert maybe_ring_scores(fake_solver(True, mesh), trimmed, False,
+                             est, pool) is None
+    out = maybe_ring_scores(fake_solver(True, mesh), clip, False,
+                            est, pool)
+    assert out is not None and out.shape == (6, 9)
+
+
+@pytest.mark.slow
+def test_ring_scoring_wer_and_probs_match_streamed(tmp_cache, tmp_path):
+    """parallel.ring_scoring=True reproduces the streamed WER and
+    offline-eval prob matrix on the 8-device mesh."""
+    from brainmagick_tpu import eval as bm_eval
+    from brainmagick_tpu.wer import get_wer
+
+    args = tiny_args(tmp_cache, tmp_path, epochs=1)
+    args.optim.batch_size = 8
+    solver = bm_train.get_solver(args)
+    solver.set_mesh(make_mesh(8))
+
+    w_stream = get_wer(solver)
+    data = bm_eval.load_test_data(solver)
+    probs_stream = bm_eval.build_probs(solver, data["preds"],
+                                       data["trues"])
+
+    solver.args.parallel.ring_scoring = True
+    w_ring = get_wer(solver)
+    probs_ring = bm_eval.build_probs(solver, data["preds"],
+                                     data["trues"])
+
+    for key in w_stream:
+        np.testing.assert_allclose(w_ring[key], w_stream[key],
+                                   atol=1e-5)
+    np.testing.assert_allclose(probs_ring, probs_stream, atol=1e-5,
+                               rtol=1e-5)
