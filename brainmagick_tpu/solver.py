@@ -618,18 +618,17 @@ class Solver:
         with_negatives = n_neg is not None
         if with_negatives:
             assert args.optim.loss == "clip"
-            if jax.process_count() > 1:
-                # per-host pools would feed DIFFERENT values into a
-                # replicated sharding — undefined semantics under XLA's
-                # replica-equality assumption. Refuse loudly rather than
-                # train on arbitrary-host data. (The paper recipe uses
-                # optim.negatives=None, so multi-host pods are
-                # unaffected by default.)
-                raise NotImplementedError(
-                    "optim.negatives with multi-host meshes is not "
-                    "supported: the sampled pool must be identical on "
-                    "every process for the replicated candidate "
-                    "sharding to be well-defined.")
+            # Multi-process pods keep the sampled pool IDENTICAL on
+            # every process: per-step pool updates are
+            # process_allgather'ed in process order (below), and the
+            # sampling RNG is seeded from (seed, epoch, phase) only —
+            # so the replicated candidate sharding sees the same values
+            # on every host (XLA's replica-equality assumption). The
+            # gathered update reconstructs the global batch order, so a
+            # multi-host pool equals the single-host pool on the same
+            # data. (The reference keeps per-rank pools,
+            # bm/solver.py:368-371, which could not feed a replicated
+            # sharding.)
 
         step = self._build_step(training and self.optimizer is not None,
                                 with_negatives,
@@ -653,7 +652,8 @@ class Solver:
             # batch; keep only this process's rows (the reference's
             # DistributedSampler split, bm/solver.py:120-130)
             rows = self.local_rows(len(batch))
-            if (rows.start, rows.stop) != (0, len(batch)):
+            rows_split = (rows.start, rows.stop) != (0, len(batch))
+            if rows_split:
                 batch = batch[rows]
                 pad_weight = pad_weight[rows]
             arrays = batch.to_device(args.parallel.transfer_dtype)
@@ -681,11 +681,19 @@ class Solver:
             counts.append(metrics["count"])
             if with_negatives:
                 # the pool update needs the outputs on host (sync); on
-                # multi-host pods only this process's rows are
-                # addressable — and per-process pools are exactly the
-                # reference's per-rank semantics (bm/solver.py:368-371)
-                self._update_negative_pool(
-                    phase, _addressable_rows(metrics["output"]))
+                # multi-host pods each process pulls its addressable
+                # rows, then every process assembles the same global
+                # update (process_allgather in process order == the
+                # global batch order) so pools — and therefore the
+                # replicated sampled candidates — stay identical
+                # across hosts
+                out_rows = _addressable_rows(metrics["output"])
+                if jax.process_count() > 1 and rows_split:
+                    from jax.experimental import multihost_utils
+                    out_rows = np.asarray(
+                        multihost_utils.process_allgather(
+                            out_rows, tiled=True))
+                self._update_negative_pool(phase, out_rows)
             if idx + 1 == total:
                 break
         losses = [float(x) for x in losses]

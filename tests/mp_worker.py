@@ -23,7 +23,7 @@ import sys
 from pathlib import Path
 
 
-def build_args(cache: str, out_dir: str):
+def build_args(cache: str, out_dir: str, negatives: int = 0):
     from brainmagick_tpu.config import MainConfig
     args = MainConfig()
     args.cache = str(cache)
@@ -44,6 +44,11 @@ def build_args(cache: str, out_dir: str):
     args.optim.epochs = 1
     args.optim.batch_size = 8
     args.optim.max_batches = 3
+    if negatives:
+        # sampled-pool top-up across the process boundary: pools are
+        # process_allgather'ed to stay identical on every host
+        # (solver._run_one_epoch)
+        args.optim.negatives = negatives
     args.test.wer_negatives = 50
     args.test.wer_topx = 3
     args.task.offset_meg_ms = 50
@@ -61,8 +66,10 @@ def main() -> None:
     port = sys.argv[3]
     cache = sys.argv[4]
     out_dir = sys.argv[5]
+    negatives = int(sys.argv[6]) if len(sys.argv) > 6 else 0
 
     import jax
+    import numpy as np
     if proc_id >= 0:
         jax.distributed.initialize(
             coordinator_address=f"localhost:{port}",
@@ -76,12 +83,16 @@ def main() -> None:
     from brainmagick_tpu.parallel import make_mesh
 
     with env.temporary(cache=Path(cache)):
-        args = build_args(cache, out_dir)
+        args = build_args(cache, out_dir, negatives=negatives)
         solver = bm_train.get_solver(args)
         solver.set_mesh(make_mesh())  # all devices, across processes
 
         metrics = solver._run_one_epoch(training=True)
         print(f"TRAIN_LOSS {metrics['loss']!r}", flush=True)
+        if negatives:
+            pool = solver.negative_pool["train"]
+            print(f"POOL {len(pool)} {float(np.abs(pool).sum())!r}",
+                  flush=True)
 
         batch, pad_weight = next(iter(solver.loaders["valid"]))
         est, out, mask, keep = solver.forward_batch(batch, pad_weight)

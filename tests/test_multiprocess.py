@@ -53,6 +53,9 @@ def _parse(log: str) -> dict:
     if m:
         out["wer"], out["wer_vocab"] = (float(m.group(1)),
                                         float(m.group(2)))
+    m = re.search(r"POOL (\d+) ([0-9.eE+-]+)", log)
+    if m:
+        out["pool_n"], out["pool_sum"] = int(m.group(1)), float(m.group(2))
     return out
 
 
@@ -111,3 +114,56 @@ def test_two_process_training_matches_single_process(tmp_cache, tmp_path):
     # cross-process metric average makes both report the same number
     assert results[0]["wer"] == results[1]["wer"]
     assert 0.0 <= results[0]["wer"] <= 1.0
+
+
+@pytest.mark.slow
+def test_two_process_negative_pool_matches_single_process(tmp_cache,
+                                                          tmp_path):
+    """Multi-host sampled negative pools: per-step pool updates are
+    process_allgather'ed so every host carries the identical pool, and
+    the 2-process x 2-device epoch with optim.negatives reproduces the
+    single-process 4-device loss (solver._run_one_epoch; the round-2
+    refusal is gone)."""
+    from brainmagick_tpu import train as bm_train
+
+    import mp_worker
+
+    args = mp_worker.build_args(str(tmp_cache), str(tmp_path / "pre"),
+                                negatives=12)
+    bm_train.get_solver(args)
+
+    def run(proc_id, n_proc, port, out, n_local):
+        return subprocess.Popen(
+            [sys.executable, str(WORKER), str(proc_id), str(n_proc),
+             str(port), str(tmp_cache), str(out), "12"],
+            env=_child_env(n_local), cwd=str(REPO),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+
+    ref_proc = run(-1, 1, 0, tmp_path / "ref", n_local=4)
+    ref_log, _ = ref_proc.communicate(timeout=600)
+    assert ref_proc.returncode == 0, ref_log[-2000:]
+    ref = _parse(ref_log)
+
+    port = _free_port()
+    procs = [run(i, 2, port, tmp_path / "mp", n_local=2)
+             for i in range(2)]
+    logs = []
+    for proc in procs:
+        log, _ = proc.communicate(timeout=600)
+        logs.append(log)
+    for proc, log in zip(procs, logs):
+        assert proc.returncode == 0, log[-2000:]
+    results = [_parse(log) for log in logs]
+
+    # the gathered pool reconstructs the global batch order, so the
+    # multi-host pool equals the single-host pool on the same data —
+    # and with it the sampled candidates and the loss
+    np.testing.assert_allclose(results[0]["loss"], ref["loss"],
+                               atol=1e-5, rtol=1e-6)
+    np.testing.assert_allclose(results[1]["loss"], results[0]["loss"],
+                               atol=1e-12)
+    assert results[0]["pool_n"] == results[1]["pool_n"] == ref["pool_n"]
+    np.testing.assert_allclose(results[0]["pool_sum"], ref["pool_sum"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(results[1]["pool_sum"],
+                               results[0]["pool_sum"], atol=1e-10)
