@@ -237,6 +237,15 @@ class ParallelConfig:
     #: Falls back to streaming when the pool exceeds per-device HBM,
     #: for transform/int8 configs, and on multi-process pods
     ring_scoring: bool = False
+    #: ring-gather the TRAINING contrastive candidates: with
+    #: negatives_group_size k > 1, rotate each shard's candidate block
+    #: around its device group over the ICI ring (lax.ppermute under
+    #: shard_map) instead of materializing the all_gathered [k*b, F, T]
+    #: tensor — peak candidate HBM stays O(local batch) regardless of
+    #: group size, making pod-wide global negatives (k=0) feasible.
+    #: Same loss/gradients as the all_gather path (tests); off by
+    #: default to match the reference's memory/XLA-collective profile
+    ring_negatives: bool = False
 
 
 @dataclass

@@ -157,12 +157,25 @@ class ClipLoss(nn.Module):
         assert estimate.shape[0] <= candidate.shape[0], \
             "need at least as many candidates as estimates"
         scores = self.get_scores(estimate, candidate, train=train)
+        return self.loss_from_scores(scores, sample_weight,
+                                     candidate_weight)
+
+    @staticmethod
+    def loss_from_scores(scores: jax.Array,
+                         sample_weight: tp.Optional[jax.Array] = None,
+                         candidate_weight: tp.Optional[jax.Array] = None
+                         ) -> jax.Array:
+        """Masked softmax cross-entropy over precomputed [B, N] scores;
+        estimate i's positive is column i (the first B columns are the
+        in-batch candidates). Shared by __call__ and the ring-gather
+        loss (solver._ring_clip_loss), which assembles the score matrix
+        blockwise so the gathered candidate tensor never materializes."""
         if candidate_weight is not None:
             # large finite negative (not -inf): a zero-weight estimate row
             # whose own candidate is also masked must stay NaN-free
             scores = jnp.where(candidate_weight[None, :] > 0, scores, -1e30)
         logprobs = jax.nn.log_softmax(scores, axis=1)
-        diag = jnp.diagonal(logprobs[:, :estimate.shape[0]])
+        diag = jnp.diagonal(logprobs[:, :scores.shape[0]])
         if sample_weight is None:
             return -diag.mean()
         w = sample_weight.astype(diag.dtype)

@@ -435,6 +435,61 @@ class Solver:
         fn = {"l1": masked_l1, "mse": masked_l2}[args.optim.loss]
         return fn(estimate, output, mask, sample_weight=keep)
 
+    def _ring_clip_loss(self, params, estimate, output, keep,
+                        negatives, negative_weight, train: bool,
+                        axis: str):
+        """CLIP loss with the cross-shard candidates ring-gathered
+        (parallel.ring_negatives): each of the k-1 other blocks of this
+        shard's device group arrives one lax.ppermute hop at a time and
+        is scored immediately, so peak candidate HBM is O(local batch)
+        instead of the all_gather branch's O(k * local batch) — the
+        layout that makes pod-wide global negatives (k=0 -> k=mesh
+        size) feasible. Runs inside shard_map; the score matrix
+        [b, k*b + n_extra] is small and column order is irrelevant to
+        the softmax, so the loss (and its gradients, which flow back
+        around the ring through ppermute's transpose) equals the
+        all_gather branch exactly (tests/test_parallel.py).
+
+        Works for every ClipLoss configuration: get_scores transforms
+        (trim/linear/pool/center) are per-candidate, hence blockwise.
+        """
+        clip = self.clip_loss
+        lp = {"params": params["loss"]}
+        b = estimate.shape[0]
+        k = self._negatives_group_size()
+
+        def scores_of(cand):
+            return clip.apply(lp, estimate, cand, train=train,
+                              method=clip.get_scores)
+
+        s_local = scores_of(output)  # [b, b], diag = positives
+        cand_w = keep
+        scores = s_local
+        if k > 1:
+            # one-hop left rotation within each contiguous device group
+            size = self.mesh.size
+            perm = [(g + j, g + (j - 1) % k)
+                    for g in range(0, size, k) for j in range(k)]
+
+            def hop(carry, _):
+                blk, w = carry
+                blk = jax.lax.ppermute(blk, axis, perm)
+                w = jax.lax.ppermute(w, axis, perm)
+                return (blk, w), (scores_of(blk), w)
+
+            _, (s_rot, w_rot) = jax.lax.scan(
+                hop, (output, keep), None, length=k - 1)
+            scores = jnp.concatenate(
+                [s_local, jnp.moveaxis(s_rot, 0, 1).reshape(b, -1)],
+                axis=1)
+            cand_w = jnp.concatenate([keep, w_rot.reshape(-1)])
+        if negatives is not None:
+            scores = jnp.concatenate([scores, scores_of(negatives)],
+                                     axis=1)
+            cand_w = jnp.concatenate([cand_w, negative_weight])
+        return clip.loss_from_scores(scores, sample_weight=keep,
+                                     candidate_weight=cand_w)
+
     def set_mesh(self, mesh) -> None:
         """Enable data-parallel training over a jax.sharding.Mesh; the
         batch is sharded over the mesh's first axis and contrastive
@@ -462,7 +517,17 @@ class Solver:
         per-group batch matches the per-GPU batch) — SURVEY.md §7."""
         estimate, output, mask, keep, new_bs, penalty = self._forward(
             params, batch_stats, arrays, na, pad_weight, rng, train)
-        if gather_axis is not None and self.clip_loss is not None:
+        ring = (gather_axis is not None and self.clip_loss is not None
+                and self.args.parallel.ring_negatives)
+        if ring:
+            # ring-gather: candidate blocks rotate around the device
+            # group over the ICI ring; the gathered tensor never
+            # materializes (O(local batch) candidate HBM at any group
+            # size). Same loss/grads as the all_gather branch below.
+            loss = self._ring_clip_loss(params, estimate, output, keep,
+                                        negatives, negative_weight,
+                                        train, gather_axis)
+        elif gather_axis is not None and self.clip_loss is not None:
             # [k, b, ...] where k = group size (contiguous device groups)
             all_out = jax.lax.all_gather(output, gather_axis,
                                          axis_index_groups=gather_groups)
@@ -480,8 +545,9 @@ class Solver:
                 negatives = jnp.concatenate([extra, negatives])
                 negative_weight = jnp.concatenate([extra_w,
                                                    negative_weight])
-        loss = self._loss_value(params, estimate, output, mask, keep,
-                                negatives, negative_weight, train)
+        if not ring:
+            loss = self._loss_value(params, estimate, output, mask, keep,
+                                    negatives, negative_weight, train)
         if train:
             loss = loss + penalty
             if self.args.optim.svd:
@@ -507,7 +573,8 @@ class Solver:
         all-reduce (bm/solver.py:386) while preserving the per-replica
         contrastive dynamics the paper depends on.
         """
-        key = (train, with_negatives, return_output, self.mesh)
+        key = (train, with_negatives, return_output, self.mesh,
+               self.args.parallel.ring_negatives)
         if jit and key in self._jit_cache:
             return self._jit_cache[key]
 

@@ -374,3 +374,74 @@ def test_ring_scoring_wer_and_probs_match_streamed(tmp_cache, tmp_path):
                                    atol=1e-5)
     np.testing.assert_allclose(probs_ring, probs_stream, atol=1e-5,
                                rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_ring_negatives_match_all_gather(tmp_cache, tmp_path):
+    """parallel.ring_negatives: the ring-gathered CLIP loss (candidate
+    blocks rotated over the ICI ring, solver._ring_clip_loss) equals
+    the all_gather branch — loss for groups of 4 and global (k=0), and
+    GRADIENTS via one adam train step with sampled negatives."""
+    import jax
+    import jax.numpy as jnp
+
+    args = tiny_args(tmp_cache, tmp_path, epochs=1)
+    args.optim.batch_size = 8
+    solver = bm_train.get_solver(args)
+    batch, pad_weight = next(iter(solver.loaders["valid"]))
+    arrays = batch.to_device()
+    pw = jnp.asarray(pad_weight)
+    rng = jax.random.PRNGKey(0)
+    solver.set_mesh(make_mesh(8))
+
+    for k in (4, 0):
+        solver.args.parallel.negatives_group_size = k
+        solver.args.parallel.ring_negatives = False
+        _, m_ag = solver._build_step(False, False, False)(
+            solver.state, arrays, solver.norm_arrays, pw, None, None,
+            rng)
+        solver.args.parallel.ring_negatives = True
+        _, m_ring = solver._build_step(False, False, False)(
+            solver.state, arrays, solver.norm_arrays, pw, None, None,
+            rng)
+        np.testing.assert_allclose(float(m_ring["loss"]),
+                                   float(m_ag["loss"]), rtol=1e-6)
+
+    # gradient equality with sampled negatives: jax.grad through the
+    # sharded eval step (adam-updated params would amplify fp
+    # reduction-order noise on near-zero grads into +-2*lr sign flips)
+    solver.args.parallel.negatives_group_size = 4
+    n_extra = 4
+    feat_shape = arrays["features"].shape
+    negs = np.random.RandomState(3).randn(
+        n_extra, solver._output_dim(feat_shape[1]),
+        solver._output_time(feat_shape[-1])).astype(np.float32)
+    nw = np.ones(n_extra, dtype=np.float32)
+    from brainmagick_tpu.parallel import replicate
+    negs_j = replicate(jnp.asarray(negs), solver.mesh)
+    nw_j = replicate(jnp.asarray(nw), solver.mesh)
+
+    def grads_and_loss(ring):
+        solver.args.parallel.ring_negatives = ring
+        step = solver._build_step(False, True, False)
+
+        def loss_of(params):
+            state = dict(solver.state)
+            state["params"] = params
+            _, metrics = step(state, dict(arrays), solver.norm_arrays,
+                              pw, negs_j, nw_j, rng)
+            return metrics["loss"]
+
+        loss, grads = jax.value_and_grad(loss_of)(solver.state["params"])
+        return float(loss), jax.tree_util.tree_map(np.asarray, grads)
+
+    l_ag, g_ag = grads_and_loss(False)
+    l_ring, g_ring = grads_and_loss(True)
+    np.testing.assert_allclose(l_ring, l_ag, rtol=1e-6)
+    flat_ag = jax.tree_util.tree_leaves_with_path(g_ag)
+    flat_ring = dict(jax.tree_util.tree_leaves_with_path(g_ring))
+    assert flat_ag and len(flat_ag) == len(flat_ring)
+    for path, leaf in flat_ag:
+        np.testing.assert_allclose(
+            flat_ring[path], leaf, atol=1e-6, rtol=1e-4,
+            err_msg=str(path))
