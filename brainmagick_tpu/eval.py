@@ -199,7 +199,8 @@ def build_probs(solver: Solver, preds: np.ndarray, trues: np.ndarray,
     # mesh-parallel scoring (see wer.py): pred rows sharded over the
     # devices, candidate blocks replicated; per-process local scoring
     # on multi-process meshes (losses.mesh_scoring_setup)
-    from .losses import commit_rows, maybe_ring_scores, mesh_scoring_setup
+    from .losses import (EstimateCache, maybe_ring_scores,
+                         mesh_scoring_setup)
     rep_sharding, row_sharding, batch_size = mesh_scoring_setup(
         solver, batch_size)
 
@@ -227,6 +228,19 @@ def build_probs(solver: Solver, preds: np.ndarray, trues: np.ndarray,
     else:
         host_blocks = candidate_blocks(trues, clip.compute_dtype,
                                        cand_block, int8=use_int8)
+
+        def padded_pred_chunk(lo):
+            block = preds[lo:lo + batch_size]
+            if len(block) < batch_size:
+                block = np.concatenate(
+                    [block, block[-1:].repeat(batch_size - len(block), 0)])
+            return block
+
+        # pred chunks prepared (commit + bf16 cast / int8 quantize)
+        # ONCE and reused across candidate groups and blocks — the
+        # in-call prep read the full fp32 chunk per block
+        # (losses.EstimateCache)
+        est_cache = EstimateCache(clip, use_int8, row_sharding)
         for g0, dev_group in iter_device_groups(host_blocks,
                                                 sharding=rep_sharding):
             # candidate norms once per transferred block, not once per
@@ -235,12 +249,9 @@ def build_probs(solver: Solver, preds: np.ndarray, trues: np.ndarray,
             group_norms = [norms_fn(b) if fast else None
                            for b in dev_group]
             for lo in range(0, len(preds), batch_size):
-                block = preds[lo:lo + batch_size]
-                pad = batch_size - len(block)
-                if pad:
-                    block = np.concatenate(
-                        [block, block[-1:].repeat(pad, 0)])
-                block_j = commit_rows(block, row_sharding)
+                pad = max(0, batch_size - (len(preds) - lo))
+                block_j = est_cache.get(
+                    lo, lambda: padded_pred_chunk(lo))
                 # index into dev_group (no loop variable outliving the
                 # group — see wer.py: a leftover block ref would exceed
                 # the HBM budget while the next group transfers)

@@ -255,11 +255,19 @@ def retrieval_scores_int8(estimates: jax.Array, cand_q: jax.Array,
     Candidate norms come from the quantized values in fp32 — matched
     quantization between the scores and the norms that scale them, as
     in the bf16 path (see get_scores).
+
+    ``estimates`` may be a pre-quantized ``(e_q, s_e)`` pair (flattened
+    int8 rows + fp32 row scales, as produced by EstimateCache) — the
+    per-call row quantization reads the full fp32 chunk, so wer/eval
+    hoist it out of the per-candidate-block call.
     """
-    e2 = estimates.reshape(estimates.shape[0], -1)
     c2 = cand_q.reshape(cand_q.shape[0], -1)
-    e_q, s_e = _int8_quantize_rows(e2)
-    k = e2.shape[1]
+    if isinstance(estimates, tuple):
+        e_q, s_e = estimates
+    else:
+        e2 = estimates.reshape(estimates.shape[0], -1)
+        e_q, s_e = _int8_quantize_rows(e2)
+    k = e_q.shape[1]
     # largest K chunk whose worst-case accumulator fits int32
     k_chunk = (2 ** 31 - 1) // (127 * 127)
     acc = None
@@ -338,6 +346,58 @@ def commit_rows(arr, row_sharding) -> jax.Array:
     if row_sharding is not None:
         x = jax.device_put(x, row_sharding)
     return x
+
+
+class EstimateCache:
+    """Per-chunk PREPARED estimate rows for streamed retrieval scoring
+    (wer.get_wer / eval.build_probs).
+
+    The est-side prep — host->device commit plus the compute-dtype cast
+    (bf16 path) or the per-row int8 quantization (test.pool_int8) —
+    reads the full fp32 chunk (~2.9 GB at wav2vec dims [2048, 1024,
+    343]). Done inside the scoring jit it is paid once per CANDIDATE
+    BLOCK; the wer/eval loops run candidate groups OUTER and estimate
+    chunks INNER, so the same chunk used to be re-prepared per block
+    and re-transferred per group. This cache prepares each chunk once
+    (one jitted cast/quantize per miss) and keeps the prepared device
+    rows across groups while they fit `budget_bytes`; over budget it
+    degrades to prepare-once-per-(group, chunk), which still hoists
+    the cast out of the per-block scoring call.
+
+    The prepared value feeds `retrieval_scores` unchanged (a same-dtype
+    astype is an XLA no-op) and `retrieval_scores_int8` as the
+    ``(e_q, s_e)`` pair. Callers that need the unprepared fp32 rows
+    (own-output scoring, trim/transform fallbacks with no compute
+    dtype) simply keep using `commit_rows`.
+    """
+
+    def __init__(self, clip: "ClipLoss", use_int8: bool, row_sharding,
+                 budget_bytes: int = 2 << 30) -> None:
+        self.row_sharding = row_sharding
+        self.budget = int(budget_bytes)
+        self._cache: tp.Dict[int, tp.Any] = {}
+        self._bytes = 0
+        if use_int8:
+            self._prep = jax.jit(
+                lambda x: _int8_quantize_rows(x.reshape(x.shape[0], -1)))
+        elif (int8_retrieval_ok(clip) and clip.compute_dtype is not None):
+            cd = jnp.dtype(clip.compute_dtype)
+            self._prep = jax.jit(lambda x: x.astype(cd))
+        else:
+            self._prep = None
+
+    def get(self, lo: int, make_chunk: tp.Callable[[], tp.Any]):
+        hit = self._cache.get(lo)
+        if hit is not None:
+            return hit
+        x = commit_rows(make_chunk(), self.row_sharding)
+        prepared = self._prep(x) if self._prep is not None else x
+        nbytes = (sum(a.nbytes for a in prepared)
+                  if isinstance(prepared, tuple) else prepared.nbytes)
+        if self._bytes + nbytes <= self.budget:
+            self._cache[lo] = prepared
+            self._bytes += nbytes
+        return prepared
 
 
 def ring_scores(mesh, estimates, pool,

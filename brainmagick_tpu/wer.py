@@ -118,8 +118,8 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
     # wav2vec candidates are 7-28 GB, more than one chip); each group
     # is scored against every estimate chunk before the next lands.
     # See losses.candidate_blocks for the bf16-pool trade-off.
-    from .losses import (block_inv_norms, candidate_blocks, commit_rows,
-                         int8_retrieval_ok, iter_device_groups,
+    from .losses import (EstimateCache, block_inv_norms, candidate_blocks,
+                         commit_rows, int8_retrieval_ok, iter_device_groups,
                          maybe_ring_scores, mesh_scoring_setup,
                          own_scores_int8, retrieval_scores,
                          retrieval_scores_int8)
@@ -182,6 +182,11 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
     else:
         host_blocks = candidate_blocks(fixed_all, clip.compute_dtype,
                                        cand_block, int8=use_int8)
+        # estimate chunks prepared (commit + bf16 cast / int8 quantize)
+        # ONCE and reused across candidate groups and blocks — the
+        # in-call prep read the full fp32 chunk per block
+        # (losses.EstimateCache)
+        est_cache = EstimateCache(clip, use_int8, row_sharding)
         for g0, dev_group in iter_device_groups(host_blocks,
                                                 sharding=rep_sharding):
             # candidate norms once per transferred block, not once per
@@ -189,8 +194,9 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
             group_norms = [norms_fn(b) if fast else None
                            for b in dev_group]
             for lo in range(0, n, chunk):
-                est, pad = padded_chunk(estimates, lo)
-                est_j = commit_rows(est, row_sharding)
+                pad = max(0, chunk - (n - lo))
+                est_j = est_cache.get(
+                    lo, lambda: padded_chunk(estimates, lo)[0])
                 # index into dev_group (no loop variable outliving the
                 # group: a leftover block ref would keep ~2 GB resident
                 # while the next group lands, exceeding the HBM budget)
@@ -202,6 +208,7 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
                     scores[lo:lo + chunk - pad, c0:c1] = \
                         s[:chunk - pad, :c1 - c0]
             del dev_group
+        del est_cache  # release the cached prepared chunks before pass 2
     # pass 2: each row's own-output score fills the last column
     for lo in range(0, n, chunk):
         est, pad = padded_chunk(estimates, lo)

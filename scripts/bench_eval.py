@@ -135,6 +135,14 @@ def main() -> None:
                                             inv_norms=inv),
               preds_l, cands.astype(jnp.bfloat16),
               "retrieval_shipped_m2048_prenorm")
+        # r3-final+: wer/eval prepare each estimate chunk ONCE
+        # (losses.EstimateCache — commit + bf16 cast hoisted out of the
+        # per-block scoring call), so the steady-state call sees a
+        # bf16 chunk; the in-call astype is then an XLA no-op
+        bench(lambda p, c: retrieval_scores(clip16, {}, p, c,
+                                            inv_norms=inv),
+              preds_l.astype(jnp.bfloat16), cands.astype(jnp.bfloat16),
+              "retrieval_shipped_m2048_prenorm_precast")
         B = B_old
 
 

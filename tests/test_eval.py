@@ -87,3 +87,50 @@ def test_build_probs_streaming_is_exact():
     want = np.exp(scores)
     want /= want.sum(axis=1, keepdims=True)
     np.testing.assert_allclose(probs, want, rtol=1e-4, atol=1e-5)
+
+
+def test_estimate_cache_prepared_scoring_matches():
+    """EstimateCache-prepared chunks (bf16 cast / int8 pair) score
+    identically to the in-call prep, and cache hits return the same
+    device value; over-budget chunks are prepared but not retained."""
+    import jax.numpy as jnp
+
+    from brainmagick_tpu.losses import (ClipLoss, EstimateCache,
+                                        block_inv_norms,
+                                        retrieval_scores,
+                                        retrieval_scores_int8)
+    rng = np.random.RandomState(0)
+    est = rng.randn(8, 4, 10).astype(np.float32)
+    cand = rng.randn(6, 4, 10).astype(np.float32)
+    clip16 = ClipLoss(dset_tmin=-0.5, dset_sample_rate=120.,
+                      compute_dtype="bfloat16")
+
+    block16 = jnp.asarray(cand).astype(jnp.bfloat16)
+    inv = block_inv_norms(block16)
+    direct = retrieval_scores(clip16, {}, jnp.asarray(est), block16,
+                              inv_norms=inv)
+    cache = EstimateCache(clip16, use_int8=False, row_sharding=None)
+    prep = cache.get(0, lambda: est)
+    assert prep.dtype == jnp.bfloat16
+    cached = retrieval_scores(clip16, {}, prep, block16, inv_norms=inv)
+    np.testing.assert_array_equal(np.asarray(direct), np.asarray(cached))
+    # cache hit: the thunk must not be called again
+    assert cache.get(0, lambda: 1 / 0) is prep
+
+    # int8: prequantized (e_q, s_e) pair == in-call row quantization
+    from brainmagick_tpu.losses import _int8_quantize_rows
+    q, _ = _int8_quantize_rows(jnp.asarray(cand).reshape(6, -1))
+    cand_q = q.reshape(6, 4, 10)
+    direct8 = retrieval_scores_int8(jnp.asarray(est), cand_q)
+    cache8 = EstimateCache(clip16, use_int8=True, row_sharding=None)
+    prep8 = cache8.get(0, lambda: est)
+    assert isinstance(prep8, tuple) and prep8[0].dtype == jnp.int8
+    cached8 = retrieval_scores_int8(prep8, cand_q)
+    np.testing.assert_array_equal(np.asarray(direct8), np.asarray(cached8))
+
+    # over budget: prepared (cast applied) but not retained
+    tiny = EstimateCache(clip16, use_int8=False, row_sharding=None,
+                         budget_bytes=1)
+    p = tiny.get(0, lambda: est)
+    assert p.dtype == jnp.bfloat16
+    assert 0 not in tiny._cache
