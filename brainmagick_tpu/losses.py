@@ -299,25 +299,48 @@ def own_scores_int8(est: jax.Array, own: jax.Array) -> jax.Array:
 
 def iter_device_groups(blocks: tp.Sequence,
                        budget_bytes: int = 4 << 30,
-                       sharding: tp.Optional[tp.Any] = None):
+                       sharding: tp.Optional[tp.Any] = None,
+                       prefetch: bool = True):
     """Yield (first_block_index, [device arrays]) groups of candidate
     blocks whose combined size stays under `budget_bytes` of HBM; each
     group is transferred once and must be dropped by the caller before
     the next iteration. `sharding` places each block with an explicit
     jax.sharding (mesh-parallel scoring replicates the candidate block
     on every device while the estimate rows are sharded); the budget is
-    per device either way."""
+    per device either way.
+
+    With `prefetch` (default), the NEXT group's host->device transfer
+    is issued before the current group is yielded — `jax.device_put`
+    is asynchronous on PJRT backends, so the transfer rides under the
+    caller's scoring dispatches instead of serializing with them (the
+    pool crosses PCIe once either way; overlapped it costs ~zero
+    wall-clock next to the [chunk, block] contractions). The group
+    size is halved so current + prefetched together stay inside
+    `budget_bytes`; when every block fits in one group there is
+    nothing to overlap and the full budget applies."""
     if not blocks:
         return
-    per = blocks[0].nbytes
-    group = max(1, int(budget_bytes // max(per, 1)))
+    per = max(blocks[0].nbytes, 1)
+    group = max(1, int(budget_bytes // per))
+    if prefetch and len(blocks) > group:
+        group = max(1, int(budget_bytes // 2 // per))
     if sharding is not None:
         def put(b):
             return jax.device_put(b, sharding)
     else:
         put = jnp.asarray
-    for i in range(0, len(blocks), group):
-        yield i, [put(b) for b in blocks[i:i + group]]
+    starts = list(range(0, len(blocks), group))
+    nxt: tp.Optional[list] = None
+    for j, i in enumerate(starts):
+        cur = nxt if nxt is not None else [put(b)
+                                           for b in blocks[i:i + group]]
+        if prefetch and j + 1 < len(starts):
+            i2 = starts[j + 1]
+            nxt = [put(b) for b in blocks[i2:i2 + group]]
+        else:
+            nxt = None
+        yield i, cur
+        del cur
 
 
 def mesh_scoring_setup(solver, chunk: int):

@@ -122,7 +122,8 @@ def test_candidate_blocks_and_device_groups():
     assert b16[0].dtype == jnp.bfloat16
 
     # groups respect the byte budget: each block is 4*4*6*4 = 384 bytes
-    groups = list(iter_device_groups(blocks, budget_bytes=800))
+    groups = list(iter_device_groups(blocks, budget_bytes=800,
+                                     prefetch=False))
     assert [g0 for g0, _ in groups] == [0, 2]
     assert [len(g) for _, g in groups] == [2, 1]
     flat = np.concatenate([np.asarray(b) for _, g in groups for b in g])
@@ -130,6 +131,16 @@ def test_candidate_blocks_and_device_groups():
     # a budget smaller than one block still makes progress
     tiny = list(iter_device_groups(blocks, budget_bytes=1))
     assert [len(g) for _, g in tiny] == [1, 1, 1]
+    # prefetch (default): the next group's transfer is issued ahead, so
+    # the group size halves — current + prefetched stay inside budget
+    pre = list(iter_device_groups(blocks, budget_bytes=800))
+    assert [g0 for g0, _ in pre] == [0, 1, 2]
+    assert [len(g) for _, g in pre] == [1, 1, 1]
+    flat = np.concatenate([np.asarray(b) for _, g in pre for b in g])
+    np.testing.assert_allclose(flat[:10], pool)
+    # everything fits in one group -> nothing to overlap, full budget
+    one = list(iter_device_groups(blocks, budget_bytes=3 * 384))
+    assert [len(g) for _, g in one] == [3]
 
 
 def test_fused_conv_bn_matches_standard_path():
