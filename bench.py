@@ -40,7 +40,9 @@ _ANALYTIC_GFLOP_PER_SAMPLE = 14.4
 
 #: BM_BENCH_TINY=1 shrinks model/batch to smoke-test the harness on CPU
 TINY = bool(os.environ.get("BM_BENCH_TINY"))
-B = 8 if TINY else 256
+#: BM_BENCH_BATCH overrides the paper batch for scaling studies (the
+#: driver-gated number stays the paper recipe's 256)
+B = int(os.environ.get("BM_BENCH_BATCH", 0)) or (8 if TINY else 256)
 CHUNK = 2 if TINY else 16
 
 
@@ -125,8 +127,9 @@ def build_solver():
     args.dset.min_n_blocks_per_split = 1
     # 0.25s stride: the fake study's 4x83s raws must yield >= one full
     # drop_last batch of 256 after split/containment (the default 0.5s
-    # stride leaves only 233 train samples); per-step shapes unchanged
-    args.dset.condition = 0.25
+    # stride leaves only 233 train samples); per-step shapes unchanged.
+    # Halve again for BM_BENCH_BATCH scaling studies past 256.
+    args.dset.condition = 0.25 if B <= 256 else 0.125
     if TINY:
         args.optim.batch_size = B
         args.simpleconv.update(

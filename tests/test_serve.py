@@ -1,0 +1,55 @@
+"""Serving export (jax.export StableHLO artifacts) — brainmagick_tpu
+extension; the reference serves by unpickling the torch Solver
+(scripts/run_eval_probs.py:211)."""
+
+import numpy as np
+from test_solver import tiny_args
+
+from brainmagick_tpu import serve
+from brainmagick_tpu import train as bm_train
+from brainmagick_tpu.dataset import SegmentBatch
+
+
+def _trained_solver(tmp_cache, tmp_path):
+    args = tiny_args(tmp_cache, tmp_path, epochs=1)
+    solver = bm_train.get_solver(args)
+    solver.train()
+    return solver
+
+
+def test_export_roundtrip_symbolic_batch(tmp_cache, tmp_path):
+    """Export with a symbolic batch dim, serialize, reload, and check
+    the artifact matches the solver forward at TWO batch sizes."""
+    solver = _trained_solver(tmp_cache, tmp_path)
+    exported = serve.export_forward(solver)  # symbolic batch
+    path = serve.save_exported(exported, tmp_path / "model.jaxexp")
+    assert path.stat().st_size > 1000
+    reloaded = serve.load_exported(path)
+
+    ds = solver.datasets.test
+    for n in (2, 5):
+        batch = serve.prepare_batch(solver, SegmentBatch.collate(
+            [ds[i % len(ds)] for i in range(n)]))
+        est_x, out_x, mask_x, keep_x = serve.call_exported(reloaded, batch)
+        est_s, out_s, mask_s, keep_s = solver.forward_batch(batch)
+        assert est_x.shape == est_s.shape
+        np.testing.assert_allclose(est_x, est_s, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(out_x, out_s, rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(keep_x, keep_s)
+
+
+def test_export_fixed_batch_and_cli(tmp_cache, tmp_path):
+    """Fixed-batch export via the CLI path, including the selfcheck."""
+    solver = _trained_solver(tmp_cache, tmp_path)
+    sig = solver.args.sig
+    serve.main([f"sig={sig}", f"out_dir={solver.args.out_dir}",
+                "batch_size=3"])
+    out = (tmp_path / "outputs" / "xps" / sig / "model.jaxexp")
+    assert out.exists()
+    reloaded = serve.load_exported(out)
+    ds = solver.datasets.test
+    batch = serve.prepare_batch(solver, SegmentBatch.collate(
+        [ds[i % len(ds)] for i in range(3)]))
+    est_x, *_ = serve.call_exported(reloaded, batch)
+    est_s, *_ = solver.forward_batch(batch)
+    np.testing.assert_allclose(est_x, est_s, rtol=1e-5, atol=1e-5)
