@@ -130,8 +130,8 @@ def build_solver():
     # stride leaves only 233 train samples); per-step shapes unchanged.
     # Halve again for BM_BENCH_BATCH scaling studies past 256.
     args.dset.condition = 0.25 if B <= 256 else 0.125
+    args.optim.batch_size = B
     if TINY:
-        args.optim.batch_size = B
         args.simpleconv.update(
             hidden=24, depth=2, dilation_period=2, merger_channels=16,
             merger_pos_dim=32, initial_linear=16)
