@@ -13,7 +13,8 @@ and can run it on any exported platform (TPU serving fleets compile
 the embedded StableHLO directly; the batch dimension stays symbolic by
 default so one artifact serves any batch size).
 
-CLI:
+CLI (defaults: symbolic batch, platforms=tpu,cpu — one artifact for
+the serving fleet and local CPU debugging):
     python -m brainmagick_tpu.serve sig=<xp_sig> [out=<file>]
         [out_dir=./outputs] [batch_size=N] [platforms=tpu,cpu]
         [selfcheck=true]
@@ -183,8 +184,9 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
                                  training=False)
     batch_size = (int(tokens["batch_size"])
                   if "batch_size" in tokens else None)
-    platforms = (tokens["platforms"].split(",")
-                 if "platforms" in tokens else None)
+    # default to a multi-platform artifact: the TPU serving fleet and
+    # local CPU debugging run the same file (tested in test_serve.py)
+    platforms = tokens.get("platforms", "tpu,cpu").split(",")
     exported = export_forward(solver, batch_size=batch_size,
                               platforms=platforms)
     out = Path(tokens.get(

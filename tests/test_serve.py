@@ -21,7 +21,10 @@ def test_export_roundtrip_symbolic_batch(tmp_cache, tmp_path):
     """Export with a symbolic batch dim, serialize, reload, and check
     the artifact matches the solver forward at TWO batch sizes."""
     solver = _trained_solver(tmp_cache, tmp_path)
-    exported = serve.export_forward(solver)  # symbolic batch
+    # multi-platform artifact authored from a CPU host: the TPU serving
+    # fleet and local debugging both run the same file
+    exported = serve.export_forward(solver, platforms=("tpu", "cpu"))
+    assert exported.platforms == ("tpu", "cpu")
     path = serve.save_exported(exported, tmp_path / "model.jaxexp")
     assert path.stat().st_size > 1000
     reloaded = serve.load_exported(path)
