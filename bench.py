@@ -42,7 +42,7 @@ _ANALYTIC_GFLOP_PER_SAMPLE = 14.4
 TINY = bool(os.environ.get("BM_BENCH_TINY"))
 #: BM_BENCH_BATCH overrides the paper batch for scaling studies (the
 #: driver-gated number stays the paper recipe's 256)
-B = int(os.environ.get("BM_BENCH_BATCH", 0)) or (8 if TINY else 256)
+B = int(os.environ.get("BM_BENCH_BATCH") or 0) or (8 if TINY else 256)
 CHUNK = 2 if TINY else 16
 
 

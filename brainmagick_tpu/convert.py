@@ -74,7 +74,7 @@ def conv_sequence_rules(
         tprefix: str, fprefix: tp.Tuple[str, ...], *,
         channels: tp.Sequence[int], batch_norm: bool, skip: bool,
         scale: tp.Optional[float], rewrite: bool, post_skip: bool,
-        glu: int, glu_glu: bool, dropout: float, dropout_input: float,
+        glu: int, dropout: float, dropout_input: float,
         activation_on_last: bool, decode: bool,
         bn_conv_bias: bool = True) -> tp.List[Rule]:
     """Rules for one ConvSequence (reference bm/models/common.py:88-141
@@ -163,6 +163,9 @@ def conv_sequence_rules(
                 conv_n += 1
                 t += 1
         if glu and (k + 1) % glu == 0:
+            # key layout is the same for glu_glu True/False: the gate
+            # conv is always glus.{k}.0, only the (parameter-free)
+            # activation behind it differs
             gkey = f"{tprefix}glus.{k}.0"
             rules.append((f"{gkey}.weight",
                           fprefix + (f"Conv_{conv_n}", "kernel"),
@@ -222,9 +225,6 @@ def simpleconv_rules(model: tp.Any, tprefix: str = "0."
                           f + ("SubjectLayers_0", "weights"), "copy",
                           "params"))
             in_channels["meg"] = dim
-        if model.n_fft is not None:
-            in_channels["meg"] *= (model.n_fft // 2 + 1) * (
-                2 if model.fft_complex else 1)
         if model.subject_dim:
             rules.append((f"{tprefix}subject_embedding.embedding.weight",
                           f + ("ScaledEmbedding_0", "Embed_0",
@@ -252,7 +252,7 @@ def simpleconv_rules(model: tp.Any, tprefix: str = "0."
             channels=sizes[name], batch_norm=model.batch_norm,
             skip=model.skip, scale=model.scale, rewrite=model.rewrite,
             post_skip=model.post_skip, glu=model.glu,
-            glu_glu=model.glu_glu, dropout=model.conv_dropout,
+            dropout=model.conv_dropout,
             dropout_input=model.dropout_input,
             activation_on_last=activation_on_last, decode=False,
             bn_conv_bias=model.bn_conv_bias)
@@ -287,7 +287,7 @@ def deepmel_rules(fm: tp.Any, tprefix: str = "1.") -> tp.List[Rule]:
     return conv_sequence_rules(
         tprefix, ("fm", "ConvSequence_0"), channels=channels,
         batch_norm=fm.batch_norm, skip=fm.skip, scale=None,
-        rewrite=False, post_skip=False, glu=fm.glu, glu_glu=True,
+        rewrite=False, post_skip=False, glu=fm.glu,
         dropout=0.0, dropout_input=0.0,
         activation_on_last=fm.activation_on_last, decode=False,
         bn_conv_bias=True)

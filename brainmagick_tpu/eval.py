@@ -352,7 +352,8 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
                         format="%(levelname)s %(name)s: %(message)s")
     from .play import get_solver_from_sig
 
-    tokens = dict(t.split("=", 1) for t in (argv or sys.argv[1:]))
+    tokens = dict(t.split("=", 1) for t in
+                  (argv if argv is not None else sys.argv[1:]))
     out_dir = tokens.get("out_dir", "./outputs")
     n_negatives = int(tokens.get("n_negatives", 20_000))
 

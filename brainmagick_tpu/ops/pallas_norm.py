@@ -47,19 +47,23 @@ def _reference_impl(meg, center, scale, limit, clip):
     return normed, peak
 
 
-@partial(jax.jit, static_argnames=("clip", "interpret"))
+@partial(jax.jit, static_argnames=("clip", "interpret", "impl"))
 def normalize_clamp_peak(meg: jax.Array, center: jax.Array,
                          scale: jax.Array, limit: float,
                          clip: bool = True,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         impl: str = "auto"):
     """meg [B, C, T], center/scale [B, C] (already gathered per sample)
     -> (normalized+clamped meg [B, C, T], pre-clamp peak [B]).
 
     Uses the fused Pallas kernel on TPU; the plain XLA composition
-    elsewhere (identical numerics).
+    elsewhere (identical numerics). `impl='xla'` forces the portable
+    composition regardless of backend — required when the trace must
+    stay Mosaic-free (multi-platform / symbolic-batch `jax.export`
+    serving artifacts, serve.export_forward).
     """
     on_tpu = jax.devices()[0].platform == "tpu"
-    if not clip or (not on_tpu and not interpret):
+    if impl == "xla" or not clip or (not on_tpu and not interpret):
         return _reference_impl(meg, center, scale, limit, clip)
 
     B, C, T = meg.shape

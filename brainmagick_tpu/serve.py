@@ -67,14 +67,12 @@ def prepare_batch(solver, batch: SegmentBatch,
 
 def _example_item(solver) -> SegmentBatch:
     """One unbatched item in the model's feature layout, used only for
-    shapes/dtypes."""
+    shapes/dtypes (single extraction path: prepare_batch)."""
     split, ds = _example_split(solver)
-    item = ds[0]
-    builder = ds.datasets[0].features
-    used = list(solver.used_features.keys())
-    feats = builder.extract_features(
-        np.asarray(item.features)[None], used)[0]
-    return item.replace(features=np.asarray(feats))
+    batch = prepare_batch(solver, SegmentBatch.collate([ds[0]]),
+                          split=split)
+    return SegmentBatch(**{
+        name: np.asarray(getattr(batch, name))[0] for name in ARG_FIELDS})
 
 
 def input_specs(solver, batch_size: tp.Optional[int] = None
@@ -138,8 +136,18 @@ def export_forward(solver, batch_size: tp.Optional[int] = None,
     kwargs: tp.Dict[str, tp.Any] = {}
     if platforms is not None:
         kwargs["platforms"] = [p.lower() for p in platforms]
-    exported = jexport.export(jax.jit(fwd), **kwargs)(
-        *input_specs(solver, batch_size))
+    # the forward's fused Pallas normalize is a Mosaic kernel: it cannot
+    # be lowered for non-TPU platforms of a multi-platform artifact, and
+    # its grid cannot carry a symbolic batch dim — force the portable
+    # XLA composition (identical numerics; the normalize is a negligible
+    # slice of inference time) for the export trace only
+    prev_impl = getattr(solver, "_norm_impl", "auto")
+    solver._norm_impl = "xla"
+    try:
+        exported = jexport.export(jax.jit(fwd), **kwargs)(
+            *input_specs(solver, batch_size))
+    finally:
+        solver._norm_impl = prev_impl
     return exported
 
 
@@ -173,7 +181,8 @@ def call_exported(exported, batch: SegmentBatch
 def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     logging.basicConfig(level=logging.INFO,
                         format="%(levelname)s %(name)s: %(message)s")
-    tokens = dict(t.split("=", 1) for t in (argv or sys.argv[1:]))
+    tokens = dict(t.split("=", 1) for t in
+                  (argv if argv is not None else sys.argv[1:]))
     if "sig" not in tokens:
         print(__doc__)
         return

@@ -323,7 +323,8 @@ class Solver:
         limit_scale = args.norm.max_scale
         meg, peak = normalize_clamp_peak(
             meg, na["meg_center"][rec], na["meg_scale"][rec],
-            limit_scale, clip=args.norm.clip)
+            limit_scale, clip=args.norm.clip,
+            impl=getattr(self, "_norm_impl", "auto"))
         features = (features - na["feat_center"][None, :, None]) \
             / na["feat_scale"][None, :, None]
         if args.norm.clip:
