@@ -14,16 +14,19 @@ the embedded StableHLO directly; the batch dimension stays symbolic by
 default so one artifact serves any batch size).
 
 CLI (defaults: symbolic batch, platforms=tpu,cpu — one artifact for
-the serving fleet and local CPU debugging):
+the serving fleet and local CPU debugging; CLIP solvers also get the
+retrieval scorer as <out>_scores.jaxexp):
     python -m brainmagick_tpu.serve sig=<xp_sig> [out=<file>]
         [out_dir=./outputs] [batch_size=N] [platforms=tpu,cpu]
-        [selfcheck=true]
+        [scores=true] [selfcheck=true]
 
 Library:
     exp = serve.export_forward(solver)            # symbolic batch
     serve.save_exported(exp, "model.jaxexp")
     exp = serve.load_exported("model.jaxexp")     # serving host
     estimate, output, mask, keep = serve.call_exported(exp, batch)
+    scorer = serve.export_scores(solver)          # [B,F,T']x[N,F,T']
+    probs = scorer.call(estimate, candidate_bank) # -> [B, N]
 """
 
 from __future__ import annotations
@@ -151,6 +154,69 @@ def export_forward(solver, batch_size: tp.Optional[int] = None,
     return exported
 
 
+def export_scores(solver,
+                  platforms: tp.Optional[tp.Sequence[str]] = None):
+    """Export the retrieval scorer — the second half of a deployed
+    brain-decoding service (the reference's in-GPU scoring loops,
+    bm/wer.py:99 / scripts/run_eval_probs.py:267-307):
+
+        (estimates [B, F, T'], candidates [N, F, T']) -> probs [B, N]
+
+    with the solver's exact CLIP scoring math (trim window, norm
+    folding, optional projection/pool/center params) baked in. Both the
+    row and candidate dimensions are symbolic, so one artifact scores
+    any pool size. Feed it the (estimate, output) arrays produced by
+    the exported forward."""
+    from jax import export as jexport
+
+    if solver.clip_loss is None:
+        raise ValueError("scoring export requires a CLIP solver")
+    clip = solver.clip_loss
+    loss_params = solver.state["params"]["loss"]
+
+    est_spec, out_spec = _forward_output_specs(solver)
+    b, n = jexport.symbolic_shape("b, n")
+
+    def fn(estimates, candidates):
+        return clip.apply({"params": loss_params}, estimates, candidates,
+                          method=clip.get_probabilities)
+
+    kwargs: tp.Dict[str, tp.Any] = {}
+    if platforms is not None:
+        kwargs["platforms"] = [p.lower() for p in platforms]
+    return jexport.export(jax.jit(fn), **kwargs)(
+        jax.ShapeDtypeStruct((b,) + est_spec.shape[1:], est_spec.dtype),
+        jax.ShapeDtypeStruct((n,) + out_spec.shape[1:], out_spec.dtype))
+
+
+def _forward_output_specs(solver):
+    """(estimate, output) ShapeDtypeStructs of the inference forward for
+    one sample — via eval_shape, no compute."""
+    import jax.random as jrandom
+
+    params = solver.state["params"]
+    batch_stats = solver.state["batch_stats"]
+    norm_arrays = solver.norm_arrays
+    rng = jrandom.PRNGKey(0)
+
+    def fwd(*args):
+        arrays = dict(zip(ARG_FIELDS, args))
+        pad_weight = jnp.ones((arrays["meg"].shape[0],),
+                              dtype=jnp.float32)
+        estimate, output, *_ = solver._forward(
+            params, batch_stats, arrays, norm_arrays, pad_weight, rng,
+            train=False)
+        return estimate, output
+
+    prev_impl = getattr(solver, "_norm_impl", "auto")
+    solver._norm_impl = "xla"
+    try:
+        est, out = jax.eval_shape(fwd, *input_specs(solver, batch_size=1))
+    finally:
+        solver._norm_impl = prev_impl
+    return est, out
+
+
 def save_exported(exported, path: tp.Union[str, Path]) -> Path:
     """Serialize to disk (atomic write)."""
     from .utils.misc import write_and_rename
@@ -206,6 +272,15 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
                 batch_size if batch_size is not None else "symbolic",
                 out, out.stat().st_size / 1e6)
 
+    scores_exp = None
+    if (tokens.get("scores", "true").lower() != "false"
+            and solver.clip_loss is not None):
+        scores_exp = export_scores(solver, platforms=platforms)
+        scores_out = out.with_name(out.stem + "_scores" + out.suffix)
+        save_exported(scores_exp, scores_out)
+        logger.info("Exported retrieval scorer -> %s (%.1f MB)",
+                    scores_out, scores_out.stat().st_size / 1e6)
+
     if tokens.get("selfcheck", "true").lower() != "false":
         split, ds = _example_split(solver)
         n = batch_size or min(4, len(ds))
@@ -219,8 +294,19 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
         np.testing.assert_allclose(est_x, est_s, rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(out_x, out_s, rtol=1e-5, atol=1e-5)
         assert bool(np.all(keep_x == keep_s))
-        logger.info("selfcheck OK: exported forward == solver forward "
-                    "on a %d-sample test batch", n)
+        if scores_exp is not None:
+            probs_x = np.asarray(scores_exp.call(jnp.asarray(est_x),
+                                                 jnp.asarray(out_x)))
+            probs_s = np.asarray(solver.clip_loss.apply(
+                {"params": jax.device_get(
+                    solver.state["params"])["loss"]},
+                jnp.asarray(est_s), jnp.asarray(out_s),
+                method=solver.clip_loss.get_probabilities))
+            np.testing.assert_allclose(probs_x, probs_s, rtol=1e-4,
+                                       atol=1e-5)
+        logger.info("selfcheck OK: exported forward%s == solver "
+                    "on a %d-sample test batch",
+                    " + scorer" if scores_exp is not None else "", n)
 
 
 if __name__ == "__main__":

@@ -40,6 +40,26 @@ def test_export_roundtrip_symbolic_batch(tmp_cache, tmp_path):
         np.testing.assert_allclose(out_x, out_s, rtol=1e-5, atol=1e-5)
         np.testing.assert_array_equal(keep_x, keep_s)
 
+    # the retrieval scorer: symbolic rows AND candidates — one artifact
+    # scores any pool size; matches the solver's CLIP probabilities
+    import jax
+    import jax.numpy as jnp
+    scorer = serve.load_exported(serve.save_exported(
+        serve.export_scores(solver), tmp_path / "scores.jaxexp"))
+    loss_params = jax.device_get(solver.state["params"])["loss"]
+    for rows, cands in ((2, 5), (3, 7)):
+        est = est_s[:rows]
+        bank = np.concatenate([out_s] * ((cands // len(out_s)) + 1))[:cands]
+        probs_x = np.asarray(scorer.call(jnp.asarray(est),
+                                         jnp.asarray(bank)))
+        probs_s = np.asarray(solver.clip_loss.apply(
+            {"params": loss_params}, jnp.asarray(est), jnp.asarray(bank),
+            method=solver.clip_loss.get_probabilities))
+        assert probs_x.shape == (rows, cands)
+        np.testing.assert_allclose(probs_x.sum(1), 1.0, rtol=1e-5)
+        np.testing.assert_allclose(probs_x, probs_s, rtol=1e-4,
+                                   atol=1e-6)
+
 
 def test_export_fixed_batch_and_cli(tmp_cache, tmp_path):
     """Fixed-batch export via the CLI path, including the selfcheck."""
