@@ -225,6 +225,40 @@ def test_roundtrip_through_reference_naming(tmp_cache, tmp_path):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
 
 
+def test_paper_architecture_rule_inventory():
+    """Rule generation at the TRUE paper architecture (clip_conv:
+    depth 10, glu 2, merger 2048, initial 270, complex_out) — no
+    training needed, flax modules are plain dataclasses. The flax-side
+    names cross-check against the shipped chip profile (encoder_meg
+    Conv_14 is the k=9 GLU conv in scripts/profile_step.py output)."""
+    from brainmagick_tpu.models.simpleconv import SimpleConv
+    model = SimpleConv(
+        in_channels={"meg": 273}, out_channels=1024,
+        hidden={"meg": 320}, depth=10, kernel_size=3,
+        dilation_growth=2, dilation_period=5, skip=True, glu=2,
+        glu_context=1, gelu=True, batch_norm=True, merger=True,
+        merger_pos_dim=2048, merger_channels=270, initial_linear=270,
+        subject_layers=True, subject_dim=0, complex_out=True,
+        n_subjects=27)
+    rules = convert.model_rules(model, None)
+    tkeys = {r[0].split("|")[-1] for r in rules}
+    # inventory: merger 1 + initial 2 + subject 1 + 10 convs x (w+b)
+    # + 10 BNs x (scale,bias,mean,var) + 5 glu convs x (w+b) + final 4
+    assert len(rules) == 1 + 2 + 1 + 20 + 40 + 10 + 4
+    assert "0.encoders.meg.sequence.9.0.weight" in tkeys
+    assert "0.encoders.meg.sequence.9.1.running_var" in tkeys
+    assert "0.encoders.meg.glus.9.0.weight" in tkeys   # glu at odd k
+    assert "0.encoders.meg.glus.8.0.weight" not in tkeys
+    flax_paths = {r[1] for r in rules}
+    # stack convs Conv_0,1,3,4,6... and glu convs Conv_2,5,8,11,14
+    assert ("model", "encoder_meg", "Conv_14", "kernel") in flax_paths
+    assert ("model", "encoder_meg", "BatchNorm_9", "scale") in flax_paths
+    # SimpleConv scope: initial=Conv_0, final complex head=Conv_1 + CT_0
+    assert ("model", "Conv_0", "kernel") in flax_paths
+    assert ("model", "Conv_1", "kernel") in flax_paths
+    assert ("model", "ConvTranspose_0", "kernel") in flax_paths
+
+
 def test_stft_head_rejected():
     from brainmagick_tpu.models.simpleconv import SimpleConv
     model = SimpleConv(in_channels={"meg": 16}, out_channels=8,
