@@ -150,6 +150,102 @@ def test_brennan_montage_geometry(brennan_root):
     np.testing.assert_allclose(pos, m10_positions(raw.ch_names))
 
 
+GOLDEN_CSV = Path(__file__).parent / "golden" / "broderick_events.csv"
+
+
+def write_broderick_gentle_fixture(private: Path) -> None:
+    """Deterministic gentle-JSON + transcript exercising every parser
+    branch: failed alignments (case != success), ``<unk>`` aligned
+    words, filler words absent from the transcript, a trailing
+    unmatched word, and punctuation-only transcript tokens.
+
+    Shared by the golden regression test and the golden regeneration
+    hook (``python tests/test_brennan_broderick.py --regen``)."""
+    private.mkdir(parents=True, exist_ok=True)
+    nouns = ["man", "sea", "boat", "fish", "line", "sail", "wind", "boy",
+             "shark", "hand"]
+    verbs = ["saw", "held", "pulled", "watched", "loved", "caught",
+             "lost", "found", "heard", "felt"]
+    sentences = [f"The old {nouns[k % 10]} {verbs[(k * 3) % 10]} the "
+                 f"big {nouns[(k * 7 + 3) % 10]}." for k in range(120)]
+    # a punctuation-only token the transcript tokenizer must drop
+    sentences[10] = sentences[10].replace(" saw ", " -- saw ")
+    (private / "oldman_run1.txt").write_text(" ".join(sentences))
+
+    t = 0.5
+    entries = []
+    for k, word in enumerate(" ".join(sentences)
+                             .replace(".", "").replace("--", "").split()):
+        dur = 0.05 * len(word) + 0.1
+        phones = [dict(phone=f"{c}_B", duration=round(0.04 + 0.01 * (n % 3), 3))
+                  for n, c in enumerate(word[:3])]
+        entry = dict(case="success", word=word, alignedWord=word,
+                     start=round(t, 3), end=round(t + dur, 3),
+                     phones=phones, startOffset=7 * k, endOffset=7 * k + 3)
+        if k % 37 == 5:
+            entry["case"] = "not-found-in-audio"
+        elif k % 41 == 7:
+            entry["alignedWord"] = "<unk>"
+        entries.append(entry)
+        t += dur + 0.12
+        if k == 50:  # filler word the transcript does not contain
+            entries.append(dict(case="success", word="uh", alignedWord="uh",
+                                start=round(t, 3), end=round(t + 0.2, 3),
+                                phones=[dict(phone="ah_B", duration=0.2)],
+                                startOffset=0, endOffset=2))
+            t += 0.3
+    # trailing word after the last transcript match
+    entries.append(dict(case="success", word="applause",
+                        alignedWord="applause", start=round(t, 3),
+                        end=round(t + 0.5, 3),
+                        phones=[dict(phone="ae_B", duration=0.5)],
+                        startOffset=0, endOffset=8))
+    (private / "align1.json").write_text(json.dumps(dict(words=entries)))
+
+
+def _parse_golden_fixture(tmp_path: Path) -> pd.DataFrame:
+    root = tmp_path / "broderick_golden"
+    write_broderick_gentle_fixture(root / "download" / "private")
+    with env.temporary(studies={"broderick2019": root}):
+        from brainmagick_tpu.studies.broderick2019 import _BroderickMetadata
+        df = _BroderickMetadata()("1")
+    # machine-dependent tmp prefix -> keep the basename only
+    df["filepath"] = df["filepath"].map(
+        lambda p: Path(p).name if isinstance(p, str) else p)
+    return df
+
+
+def test_broderick_parser_golden(tmp_path):
+    """The gentle parser's exact output is pinned by a committed CSV —
+    any rewrite of _parse_json/_parse_txt/_process must keep it green."""
+    df = _parse_golden_fixture(tmp_path)
+    golden = pd.read_csv(GOLDEN_CSV)
+    assert sorted(df.columns) == sorted(golden.columns)
+    assert len(df) == len(golden)
+    for col in golden.columns:
+        got, want = df[col], golden[col]
+        if pd.api.types.is_numeric_dtype(want) and not \
+                pd.api.types.is_bool_dtype(want):
+            np.testing.assert_allclose(
+                pd.to_numeric(got).to_numpy(dtype=np.float64),
+                want.to_numpy(dtype=np.float64),
+                atol=1e-9, equal_nan=True, err_msg=col)
+        else:
+            assert got.fillna("").astype(str).tolist() == \
+                want.fillna("").astype(str).tolist(), col
+
+
+if __name__ == "__main__":
+    import sys
+    import tempfile
+    if "--regen" in sys.argv:
+        with tempfile.TemporaryDirectory() as td:
+            out = _parse_golden_fixture(Path(td))
+        GOLDEN_CSV.parent.mkdir(exist_ok=True)
+        out.to_csv(GOLDEN_CSV, index=False)
+        print(f"wrote {GOLDEN_CSV} ({len(out)} rows)")
+
+
 @pytest.fixture()
 def broderick_root(tmp_path):
     root = tmp_path / "broderick"
