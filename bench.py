@@ -160,8 +160,10 @@ def main() -> None:
 
     t_build = time.perf_counter()
     solver, args = build_solver()
-    print(f"# solver built in {time.perf_counter() - t_build:.1f}s",
-          file=sys.stderr, flush=True)
+    breakdown = " ".join(f"{k}={v:.1f}s"
+                         for k, v in solver.build_timings.items())
+    print(f"# solver built in {time.perf_counter() - t_build:.1f}s "
+          f"({breakdown})", file=sys.stderr, flush=True)
 
     # one full-size train batch, committed to the device once — the
     # timed region must not include host->device transfer (this

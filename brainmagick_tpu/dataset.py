@@ -228,6 +228,23 @@ class SegmentDataset:
                                  dtype=np.float32)])
         return pos.astype(np.float32)
 
+    def _event_records(self) -> tp.Tuple[np.ndarray, np.ndarray,
+                                         tp.List[tp.Any]]:
+        """Typed event records + start/stop arrays, built ONCE per
+        dataset: the `.event` pandas accessor re-validates whatever
+        frame it is constructed on, so running it inside __getitem__
+        (as a per-window `.loc[select].event.iter()`) made every item
+        fetch re-validate its event rows — measured as the dominant
+        term of the scaler fit (~7s of a 21s fit on 800 fetches)."""
+        cached = getattr(self, "_event_records_cache", None)
+        if cached is None:
+            frame = self.features.events
+            cached = (frame["start"].to_numpy(np.float64),
+                      frame["_stop"].to_numpy(np.float64),
+                      list(frame.event.iter()))
+            self._event_records_cache = cached
+        return cached
+
     def _get_feature(self, idx: int) -> tp.Tuple[np.ndarray, np.ndarray,
                                                  tp.List[tp.Any]]:
         start, stop = self._bounds_times(idx)
@@ -239,14 +256,13 @@ class SegmentDataset:
         i0 = max(0, min(i0, t_total - n))
         chunk = np.array(track[:, i0:i0 + n], dtype=np.float32)
         data, mask = chunk[:-1], chunk[-1:] > 0.5
-        select = ((self.features.events["_stop"] >= start)
-                  & (self.features.events.start < stop))
+        starts, stops, records = self._event_records()
+        select = np.flatnonzero((stops >= start) & (starts < stop))
         from .events import DataSlice
         marker = DataSlice(start=start, duration=stop - start,
                            sample_rate=float(track_sr), language=None,
                            modality=None)
-        event_list = [marker] + list(
-            self.features.events.loc[select].event.iter())
+        event_list = [marker] + [records[k] for k in select]
         return data, mask, event_list
 
     def __getitem__(self, index: tp.Any) -> tp.Any:

@@ -20,6 +20,7 @@ keeps them per-GPU (README.md:139-143).
 
 from __future__ import annotations
 
+import contextlib
 import logging
 import pickle
 import time
@@ -95,9 +96,12 @@ class Solver:
                 compute_dtype=args.clip.compute_dtype)
 
         # scaler (fit on rank-0 equivalent: host, disk-cached)
+        #: wall-clock of each construction phase, printed by bench.py
+        self.build_timings: tp.Dict[str, float] = {}
         self.scaler: tp.Optional[BatchScaler] = None
         self.scaler_cache = Cache("scaler", (args.dset, args.norm))
-        self._init_scaler()
+        with self._timed("scaler"):
+            self._init_scaler()
         if args.optim.loss == "regression_classification":
             self.feature_loss = FeatureDecodingLoss(
                 self.used_features,
@@ -108,8 +112,10 @@ class Solver:
 
         self._init_loaders()
         self._norm_arrays: tp.Optional[tp.Dict[str, jnp.ndarray]] = None
-        _ = self.norm_arrays  # materialize OUTSIDE any jit trace
-        self._init_state()
+        with self._timed("norm_arrays"):
+            _ = self.norm_arrays  # materialize OUTSIDE any jit trace
+        with self._timed("init_state"):
+            self._init_state()
         #: optional jax.sharding.Mesh for data-parallel training
         #: (set_mesh); None = single device
         self.mesh = None
@@ -138,6 +144,16 @@ class Solver:
             self._load_params(self.best_state)
 
     # -- setup ----------------------------------------------------------------
+
+    @contextlib.contextmanager
+    def _timed(self, name: str) -> tp.Iterator[None]:
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.build_timings[name] = \
+                self.build_timings.get(name, 0.0) \
+                + time.perf_counter() - t0
 
     def _init_scaler(self) -> None:
         if self.scaler is None:
@@ -224,7 +240,29 @@ class Solver:
 
     def _init_state(self) -> None:
         """Initialize model / loss / feature-model parameters and the
-        optimizer state into one pytree."""
+        optimizer state into one pytree.
+
+        Flax ``init`` traces eagerly, so on a remote accelerator every
+        primitive is a network round-trip (measured: 84s of a 137s cold
+        solver build on the relayed chip). Initialization is
+        deterministic across backends (threefry PRNG), so when the
+        default backend is an accelerator the state is built on the
+        host CPU backend and shipped to the device in one transfer.
+        """
+        cpu = None
+        if jax.default_backend() != "cpu":
+            try:
+                cpu = jax.local_devices(backend="cpu")[0]
+            except RuntimeError:
+                pass
+        if cpu is None:
+            self.state = self._build_initial_state()
+            return
+        with jax.default_device(cpu):
+            state = self._build_initial_state()
+        self.state = jax.device_put(state, jax.local_devices()[0])
+
+    def _build_initial_state(self) -> dict:
         args = self.args
         rng = jax.random.PRNGKey(args.seed)
         batch = self._example_batch()
@@ -261,8 +299,8 @@ class Solver:
             opt_state = self.optimizer.init(params)
         else:
             opt_state = ()
-        self.state = {"step": jnp.int32(0), "params": params,
-                      "batch_stats": batch_stats, "opt_state": opt_state}
+        return {"step": jnp.int32(0), "params": params,
+                "batch_stats": batch_stats, "opt_state": opt_state}
 
     # -- task wiring (static shapes) -------------------------------------------
 

@@ -17,6 +17,7 @@ import dataclasses
 import hashlib
 import logging
 import sys
+import time
 import typing as tp
 
 import jax
@@ -109,7 +110,9 @@ def build_model(args: MainConfig, datasets: dset.Datasets):
 
 
 def get_solver(args: MainConfig, training: bool = True) -> Solver:
+    t0 = time.perf_counter()
     datasets = build_datasets(args)
+    t_datasets = time.perf_counter() - t0
     if args.download_only:
         sys.exit(0)
     model, feature_model = build_model(args, datasets)
@@ -120,8 +123,10 @@ def get_solver(args: MainConfig, training: bool = True) -> Solver:
             optimizer = optax.adam(optargs.lr, b1=0.9, b2=optargs.beta2)
         else:
             raise ValueError(f"Invalid optimizer {optargs.name}")
-    return Solver(args=args, datasets=datasets, model=model,
-                  feature_model=feature_model, optimizer=optimizer)
+    solver = Solver(args=args, datasets=datasets, model=model,
+                    feature_model=feature_model, optimizer=optimizer)
+    solver.build_timings["datasets"] = t_datasets
+    return solver
 
 
 def run(args: MainConfig) -> float:
