@@ -6,7 +6,9 @@ JSONs give word/phoneme timings; the transcript text is tokenized into
 sentences and aligned to the JSON words with Levenshtein matching to
 recover sequence ids. The reference tokenizes with spacy; here a
 deterministic regex sentence splitter fills that role (spacy model
-downloads are unavailable offline).
+downloads are unavailable offline). The parsing itself is re-derived
+from the gentle JSON schema in vectorized pandas and pinned by
+tests/golden/broderick_events.csv.
 """
 
 from __future__ import annotations
@@ -39,57 +41,50 @@ class _BroderickMetadata:
         self._cache: tp.Dict[str, pd.DataFrame] = {}
 
     def _parse_json(self, run_id: str) -> pd.DataFrame:
-        folder = get_paths().download
-        with open(folder / "private" / f"align{run_id}.json") as f:
-            align = json.load(f)
-        meta = []
-        for entry in align["words"]:
-            entry.pop("endOffset", None)
-            entry.pop("startOffset", None)
-            success = entry.pop("case") == "success"
-            if not success:
+        """One tidy frame from gentle's alignment: a leading ``sound``
+        row, then each successfully-located word followed by its
+        phonemes (onsets cumulated from the word onset). Words gentle
+        could not locate in the audio (``case != success``) are
+        dropped; words located but not recognized (``<unk>``) are kept
+        with ``success=False``."""
+        private = get_paths().download / "private"
+        align = json.loads((private / f"align{run_id}.json").read_text())
+        rows = [dict(start=0, kind="sound",
+                     filepath=str(private / f"audio{run_id}.wav"))]
+        for w in align["words"]:
+            if w["case"] != "success":
                 continue
-            if entry["alignedWord"] == "<unk>":
-                success = False
-            entry["success"] = success
-            txt = entry.pop("word")
-            entry["string"] = txt
-            phones = entry.pop("phones")
-            entry["phone"] = " ".join(k["phone"] for k in phones)
-            entry["duration"] = entry["end"] - entry["start"]
-            entry["aligned"] = entry.pop("alignedWord")
-            entry["kind"] = "word"
-            meta.append(entry)
-            start = entry["start"]
-            for phone in phones:
-                phone["start"] = start
-                start += phone["duration"]
-                phone["end"] = start
-                phone["kind"] = "phoneme"
-                phone["success"] = success
-                phone["aligned"] = phone["phone"]
-                phone["string"] = phone["phone"]
-                meta.append(phone)
-        wav = folder / "private" / f"audio{run_id}.wav"
-        sound = dict(start=0, kind="sound", filepath=str(wav))
-        df = pd.DataFrame([sound] + meta)
+            ok = w["alignedWord"] != "<unk>"
+            phones = w["phones"]
+            rows.append(dict(
+                start=w["start"], end=w["end"], success=ok,
+                string=w["word"], aligned=w["alignedWord"], kind="word",
+                phone=" ".join(p["phone"] for p in phones)))
+            onsets = w["start"] + np.concatenate(
+                [[0.0], np.cumsum([p["duration"] for p in phones])])
+            rows += [dict(start=s, end=e, success=ok, string=p["phone"],
+                          aligned=p["phone"], kind="phoneme",
+                          phone=p["phone"])
+                     for p, s, e in zip(phones, onsets[:-1], onsets[1:])]
+        df = pd.DataFrame(rows)
         df["duration"] = df["end"] - df["start"]
         return df
 
     def _parse_txt(self, run_id: str) -> pd.DataFrame:
-        txt_file = get_paths().download / "private" / f"oldman_run{run_id}.txt"
-        with open(txt_file) as f:
-            txt = f.read()
-        rows = []
-        for sequence_id, sent in enumerate(_sentences(txt)):
-            for word_id, word in enumerate(sent.split()):
-                word_ = re.sub(r"\W+", "", word)
-                if not word_:
-                    continue
-                rows.append(dict(word=word_, original_word=word,
-                                 word_id=word_id, sequence_id=sequence_id,
-                                 sequence_uid=sent))
-        return pd.DataFrame(rows)
+        """Transcript words with their sentence/word coordinates.
+        Tokens with no word characters (stand-alone punctuation) are
+        dropped *after* word_id assignment, so word_id keeps counting
+        raw tokens — the ids only need to be sentence-monotonic."""
+        txt = (get_paths().download / "private"
+               / f"oldman_run{run_id}.txt").read_text()
+        records = [
+            (re.sub(r"\W+", "", token), token, word_id, sequence_id, sent)
+            for sequence_id, sent in enumerate(_sentences(txt))
+            for word_id, token in enumerate(sent.split())]
+        df = pd.DataFrame(records, columns=[
+            "word", "original_word", "word_id", "sequence_id",
+            "sequence_uid"])
+        return df[df.word != ""].reset_index(drop=True)
 
     def __call__(self, run_id: str) -> pd.DataFrame:
         if run_id not in self._cache:
@@ -97,37 +92,34 @@ class _BroderickMetadata:
         return self._cache[run_id].copy()
 
     def _process(self, run_id: str) -> pd.DataFrame:
+        """Matched word rows get their transcript sentence coordinates;
+        every other row (phonemes, fillers, the sound row) inherits the
+        nearest preceding match — except rows after the LAST match,
+        which stay unresolved. Rows before the first match inherit the
+        first match. Pinned by tests/golden/broderick_events.csv."""
         df = self._parse_json(run_id)
         text = self._parse_txt(run_id)
-        trans_words = df.query('kind=="word"')
-        i, j = utils.match_list(trans_words.string.str.lower(),
+        words = df[df.kind == "word"]
+        i, j = utils.match_list(words.string.str.lower(),
                                 text.word.str.lower())
-        assert len(i) > 450
+        assert len(i) > 450, f"suspiciously few matched words: {len(i)}"
 
-        fields = ("sequence_id", "sequence_uid", "word_id")
-        for k in fields:
-            df.loc[trans_words.iloc[i].index, k] = text.iloc[j][k].values
-        missed = np.setdiff1d(range(len(df)), trans_words.index[i])
-
-        # propagate the sequence of the previous matched word onto
-        # phonemes and unmatched words between two matches
-        prev = None
-        indices: tp.List[tp.Any] = []
-        for curr in range(len(df)):
-            if curr in missed:
-                indices.append(df.index[curr])
-            else:
-                if indices and prev is not None:
-                    for k in fields:
-                        df.loc[indices, k] = df.iloc[prev][k]
-                    indices = []
-                prev = curr
+        fields = ["sequence_id", "sequence_uid", "word_id"]
+        matched = words.index[i]  # df carries a fresh RangeIndex
+        cols = pd.DataFrame(index=df.index, columns=fields, dtype=object)
+        cols.loc[matched, fields] = text[fields].to_numpy()[j]
+        cols = cols.ffill().bfill()
+        cols.iloc[matched.max() + 1:] = np.nan
+        for k in ("sequence_id", "word_id"):
+            cols[k] = pd.to_numeric(cols[k])
+        df[fields] = cols
 
         df["condition"] = "sentence"
-        for kind in ("word", "phoneme"):
-            idx = df.kind == kind
-            df.loc[idx, kind] = df.loc[idx].string
-        df.loc[df.kind == "phoneme", "phoneme_id"] = 0  # dummy id
+        is_word = df.kind == "word"
+        is_phoneme = df.kind == "phoneme"
+        df.loc[is_word, "word"] = df.loc[is_word, "string"]
+        df.loc[is_phoneme, "phoneme"] = df.loc[is_phoneme, "string"]
+        df.loc[is_phoneme, "phoneme_id"] = 0  # gentle gives no ARPAbet id
         return df
 
 
