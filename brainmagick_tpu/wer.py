@@ -254,7 +254,11 @@ def get_wer(solver, dataset: tp.Optional[tp.Any] = None
     correct /= n
     correct_vocab /= n
     soft_correct /= n
-    metrics = {"wer": 1 - correct, "wer_vocab": 1 - correct_vocab}
+    metrics = {"wer": 1 - correct, "wer_vocab": 1 - correct_vocab,
+               # vocab top-k saturates when the candidate pool has few
+               # unique words (wer_vocab -> 0 for topx >= vocab size);
+               # reported so a 0.0 is distinguishable from a bug
+               "wer_n_vocab": float(len(vocab_f))}
     # multi-process pods: every process computed metrics over its own
     # rows — average them like the reference's all-reduce (bm/wer.py:121)
     from .parallel import average_metrics_across_processes
