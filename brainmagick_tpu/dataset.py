@@ -320,8 +320,12 @@ class SegmentDataset:
                 for i in indices], dtype=np.int64)
             n_track = track_sr.to_ind(self._n_times / float(self.sample_rate))
         t_starts = np.clip(t_starts, 0, track.shape[-1] - n_track)
-        chunk = batch_gather_track(track, t_starts, n_track)
-        features, mask = chunk[:, :-1], chunk[:, -1:] > 0.5
+        # two gathers -> CONTIGUOUS features/mask: slicing one gathered
+        # [B, F+1, n] leaves a strided features view, and numpy's
+        # strided-source fancy scatter in ConcatDataset.get_batch (and
+        # jnp.asarray at transfer) is ~100x slower than contiguous
+        features = batch_gather_track(track[:-1], t_starts, n_track)
+        mask = batch_gather_track(track[-1:], t_starts, n_track) > 0.5
 
         event_lists = []
         if with_events:

@@ -741,6 +741,11 @@ class Solver:
                                 return_output=with_negatives)
         rng = jax.random.PRNGKey(args.seed + self.epoch * 1000
                                  + (0 if training else 1))
+        # per-step keys hoisted to ONE device op + host fetch: an eager
+        # `rng, sub = jax.random.split(rng)` inside the loop costs two
+        # dispatch round-trips per step, which on a relayed accelerator
+        # (~40ms each) dwarfed the 31ms step itself (scripts/bench_e2e)
+        step_keys = np.asarray(jax.random.split(rng, total))
         # fresh permutation per batch (reference draws a new randperm each
         # batch, bm/solver.py:359-371); seeded per (seed, epoch, phase) for
         # reproducibility across restarts
@@ -778,10 +783,10 @@ class Solver:
                 from .parallel import replicate
                 negatives = replicate(negatives, self.mesh)
                 negative_weight = replicate(negative_weight, self.mesh)
-            rng, sub = jax.random.split(rng)
             self.state, metrics = step(self.state, arrays,
                                        self.norm_arrays, pad_w,
-                                       negatives, negative_weight, sub)
+                                       negatives, negative_weight,
+                                       step_keys[idx])
             losses.append(metrics["loss"])
             keeps.append(metrics["keep"])
             counts.append(metrics["count"])
@@ -802,10 +807,16 @@ class Solver:
                 self._update_negative_pool(phase, out_rows)
             if idx + 1 == total:
                 break
-        losses = [float(x) for x in losses]
-        self._seen += int(sum(float(c) for c in counts))
-        self._rejected += int(sum(float(c) - float(k)
-                                  for c, k in zip(counts, keeps)))
+        # ONE stacked fetch for the epoch's device scalars: a float()
+        # per scalar costs a full D2H round trip each (~40ms relayed —
+        # 3 scalars/step dwarfed the 31ms step, scripts/bench_e2e.py)
+        if not losses:
+            return {"loss": float("nan")}
+        stacked = np.asarray(jnp.stack(
+            [jnp.stack(losses), jnp.stack(keeps), jnp.stack(counts)]))
+        losses, keeps, counts = stacked[0], stacked[1], stacked[2]
+        self._seen += int(counts.sum())
+        self._rejected += int(counts.sum() - keeps.sum())
         metrics = {"loss": float(np.mean(losses))}
         if not training and metrics["loss"] < self.best_loss:
             self.best_loss = metrics["loss"]

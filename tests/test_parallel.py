@@ -263,7 +263,7 @@ def test_mesh_parallel_test_stage_equals_single_device(tmp_cache,
     data8 = bm_eval.load_test_data(solver)
     probs8 = bm_eval.build_probs(solver, data8["preds"], data8["trues"])
 
-    assert set(w8) == {"wer", "wer_vocab"}
+    assert set(w8) == {"wer", "wer_vocab", "wer_n_vocab"}
     for key in w1:
         np.testing.assert_allclose(w8[key], w1[key], atol=1e-4)
     np.testing.assert_allclose(probs8, probs1, atol=1e-4)
