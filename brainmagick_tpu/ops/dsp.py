@@ -73,12 +73,12 @@ def _resample_impl(x: jax.Array, old_sr: int, new_sr: int, zeros: int,
     shape = x.shape
     length = shape[-1]
     x2 = x.reshape(-1, 1, length)
-    # bucket the length (edge padding is numerically identical to the
-    # edge padding the conv applies anyway), so arbitrary input lengths
-    # share one compilation per bucket
+    # zero padding = julius.ResampleFrac's F.pad((width, width+old_sr))
+    # boundary convention; the extra bucket zeros only feed outputs past
+    # output_length, which are truncated. Bucketing lets arbitrary input
+    # lengths share one compilation per 1s bucket.
     x2 = jnp.pad(x2, ((0, 0), (0, 0),
-                      (width, padded_length - length + width + old_g)),
-                 mode="edge")
+                      (width, padded_length - length + width + old_g)))
     # [N, new_g, T//old_g]: one conv produces every output phase
     ys = jax.lax.conv_general_dilated(
         x2, kernel, window_strides=(old_g,), padding="VALID",
@@ -90,18 +90,26 @@ def _resample_impl(x: jax.Array, old_sr: int, new_sr: int, zeros: int,
 
 
 def resample(x: jax.Array, old_sr: int, new_sr: int, *, zeros: int = 24,
-             rolloff: float = 0.945) -> jax.Array:
+             rolloff: float = 0.945, full: bool = False) -> jax.Array:
     """Resample [..., T] from old_sr to new_sr (integer rates).
 
     Matches the reference's julius.ResampleFrac semantics
     (bm/studies/api.py:353-354): windowed-sinc polyphase with `zeros`
-    zero-crossings per side and a `rolloff` anti-aliasing margin.
+    zero-crossings per side, a `rolloff` anti-aliasing margin, zero
+    boundary padding, and julius's default output length
+    floor(T*new/old) (``full=True`` gives the ceil variant). Pinned by
+    tests/golden/dsp_goldens.npz against an independent
+    direct-summation oracle (tests/dsp_oracle.py); cross-check against
+    real julius with scripts/check_dsp_vs_julius.py on a connected
+    machine.
     """
     old_sr, new_sr = int(old_sr), int(new_sr)
     if old_sr == new_sr:
         return x
     length = x.shape[-1]
-    output_length = int(math.ceil(new_sr * length / old_sr))
+    float_length = new_sr * length / old_sr
+    output_length = int(math.ceil(float_length)) if full \
+        else int(float_length)
     padded_length = -(-length // old_sr) * old_sr  # 1s buckets
     return _resample_impl(x, old_sr, new_sr, zeros, rolloff, output_length,
                           padded_length)
@@ -127,7 +135,8 @@ def _lowpass_impl(x: jax.Array, cutoff: float, zeros: int) -> jax.Array:
     kernel = jnp.asarray(kernel_np)
     shape = x.shape
     x2 = x.reshape(-1, 1, shape[-1])
-    x2 = jnp.pad(x2, ((0, 0), (0, 0), (half_size, half_size)), mode="edge")
+    # zero padding = julius.LowPassFilters' F.conv1d(padding=half_size)
+    x2 = jnp.pad(x2, ((0, 0), (0, 0), (half_size, half_size)))
     y = jax.lax.conv_general_dilated(
         x2, kernel, window_strides=(1,), padding="VALID",
         dimension_numbers=("NCT", "OIT", "NCT"),

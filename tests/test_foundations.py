@@ -119,9 +119,12 @@ class TestDsp:
         import jax.numpy as jnp
         from brainmagick_tpu.ops import dsp
 
-        x = np.full((1, 1000), 3.0, dtype=np.float32)
+        x = np.full((1, 2000), 3.0, dtype=np.float32)
         y = np.asarray(dsp.highpass_filter(jnp.asarray(x), 0.01))
-        assert np.abs(y[:, 100:-100]).max() < 1e-3
+        # julius zero-pads, so the first/last half_size=400 samples dip
+        # (bm/studies/api.py:355-356 inherits the same boundary); the
+        # interior must cancel exactly
+        assert np.abs(y[:, 450:-450]).max() < 1e-3
 
 
 class TestFakeStudy:
