@@ -565,7 +565,9 @@ class DualPathRNN(nn.Module):
 def get_activation(gelu: bool = False, relu_leakiness: float = 0.0
                    ) -> tp.Callable[[jax.Array], jax.Array]:
     if gelu:
-        return nn.gelu
+        # exact erf form: torch nn.GELU's default (flax defaults to the
+        # tanh approximation, ~5e-4 off — tests/test_reference_parity.py)
+        return partial(nn.gelu, approximate=False)
     if relu_leakiness:
         return partial(nn.leaky_relu, negative_slope=relu_leakiness)
     return nn.relu
