@@ -1,10 +1,16 @@
 default: tests
 
+# default gate: everything but the slow-marked end-to-end trainings /
+# export roundtrips / multiprocess tests (~4 min single-core, scales
+# down with -n auto on multi-core hosts). `make tests-all` runs the
+# full 240+ test suite (~12 min single-core).
 tests:
-	python -m pytest tests/ -q
+	python -m pytest tests/ -q -m "not slow" -n auto
 
-fast:
-	python -m pytest tests/ -q -m "not slow"
+tests-all:
+	python -m pytest tests/ -q -n auto
+
+fast: tests
 
 lint:
 	python -m flake8 brainmagick_tpu tests scripts --max-line-length 100 || true
@@ -22,7 +28,7 @@ dryrun:
 rehearsal:
 	BM_REHEARSAL=1 python -m pytest tests/test_rehearsal.py -q -s
 
-.PHONY: default tests fast lint bench dryrun rehearsal
+.PHONY: default tests tests-all fast lint bench dryrun rehearsal
 
 verify:
 	rm -rf /tmp/vfy && mkdir -p /tmp/vfy/fake_cache

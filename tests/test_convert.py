@@ -154,6 +154,7 @@ def test_bn_mean_bias_fold_is_exact():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_reference_key_names_tiny_architecture(tmp_cache, tmp_path):
     args = tiny_args(tmp_cache, tmp_path, epochs=1)
     solver = bm_train.get_solver(args)
@@ -184,6 +185,7 @@ def test_reference_key_names_tiny_architecture(tmp_cache, tmp_path):
     assert ("model", "ConvTranspose_0", "kernel") in flax_paths
 
 
+@pytest.mark.slow
 def test_roundtrip_through_reference_naming(tmp_cache, tmp_path):
     """params -> reference-named torch state_dict -> converted back ->
     identical forward (proves transforms invert and every tensor is

@@ -87,6 +87,7 @@ def test_simple_grid_searcher():
     assert {"optim.lr": 3e-4, "optim.batch_size": 64} in overrides
 
 
+@pytest.mark.slow
 def test_run_jobs_parallel_overlap(tmp_path, monkeypatch):
     """--workers=N overlaps N jobs as subprocesses with per-job logs
     (the reference's submitit array equivalent,

@@ -11,6 +11,7 @@ from brainmagick_tpu import train as bm_train
 from test_solver import tiny_args
 
 
+@pytest.mark.slow
 def test_roundrobin_multistudy(tmp_cache):
     datasets = dset.get_datasets(
         selections=[{"study": "fake"}, {"study": "fakeeeg"}],

@@ -3,6 +3,7 @@ extension; the reference serves by unpickling the torch Solver
 (scripts/run_eval_probs.py:211)."""
 
 import numpy as np
+import pytest
 from test_solver import tiny_args
 
 from brainmagick_tpu import serve
@@ -17,6 +18,7 @@ def _trained_solver(tmp_cache, tmp_path):
     return solver
 
 
+@pytest.mark.slow
 def test_export_roundtrip_symbolic_batch(tmp_cache, tmp_path):
     """Export with a symbolic batch dim, serialize, reload, and check
     the artifact matches the solver forward at TWO batch sizes."""
@@ -61,6 +63,7 @@ def test_export_roundtrip_symbolic_batch(tmp_cache, tmp_path):
                                    atol=1e-6)
 
 
+@pytest.mark.slow
 def test_export_fixed_batch_and_cli(tmp_cache, tmp_path):
     """Fixed-batch export via the CLI path, including the selfcheck."""
     solver = _trained_solver(tmp_cache, tmp_path)
