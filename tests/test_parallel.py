@@ -445,3 +445,50 @@ def test_ring_negatives_match_all_gather(tmp_cache, tmp_path):
         np.testing.assert_allclose(
             flat_ring[path], leaf, atol=1e-6, rtol=1e-4,
             err_msg=str(path))
+
+
+@pytest.mark.slow
+def test_v5e8_paper_preset_reproduces_reference_pools(tmp_cache,
+                                                      tmp_path):
+    """The clip_conv_v5e8_paper preset's group structure (8 chips,
+    groups of 4, ring-gathered) rebuilds the reference's two
+    half-global contrastive pools (global 256 on 2 GPUs,
+    /root/reference/README.md:139-143) — verified at the preset's
+    group geometry on the CPU mesh: 8 devices x groups-of-4 ==
+    2 devices x local pools, with ring_negatives on."""
+    import jax
+    import jax.numpy as jnp
+
+    from brainmagick_tpu.config import MainConfig, apply_preset
+
+    preset = apply_preset(MainConfig(), "clip_conv_v5e8_paper")
+    assert preset.optim.batch_size == 256
+    assert preset.parallel.negatives_group_size == 4
+    assert preset.parallel.ring_negatives
+    weak = apply_preset(MainConfig(), "clip_conv_v5e8")
+    assert weak.optim.batch_size == 2048
+    assert weak.parallel.negatives_group_size == 1
+
+    args = tiny_args(tmp_cache, tmp_path, epochs=1)
+    args.optim.batch_size = 32  # local 4/chip on 8 devices, like 32/chip
+    args.parallel.ring_negatives = preset.parallel.ring_negatives
+    solver = bm_train.get_solver(args)
+    batch, pad_weight = next(iter(solver.loaders["valid"]))
+    arrays = batch.to_device()
+    pw = jnp.asarray(pad_weight)
+    rng = jax.random.PRNGKey(0)
+
+    # the reference geometry: 2 devices, each a half-global local pool
+    solver.set_mesh(make_mesh(2))
+    solver.args.parallel.negatives_group_size = 1
+    _, m2 = solver._build_step(False, False, False)(
+        solver.state, arrays, solver.norm_arrays, pw, None, None, rng)
+
+    # the preset geometry: 8 devices, ring-gathered groups of 4
+    solver.set_mesh(make_mesh(8))
+    solver.args.parallel.negatives_group_size = \
+        preset.parallel.negatives_group_size
+    _, m8 = solver._build_step(False, False, False)(
+        solver.state, arrays, solver.norm_arrays, pw, None, None, rng)
+    np.testing.assert_allclose(float(m2["loss"]), float(m8["loss"]),
+                               rtol=2e-3)
