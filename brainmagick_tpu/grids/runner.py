@@ -209,6 +209,10 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     if "--csv" in flags:
         export_csv(name, out_dir=out_dir)
         return
+    if "--html" in flags:
+        from .explore import export_html
+        export_html(name, out_dir=out_dir)
+        return
     if "--run" in flags:
         run_jobs(jobs, out_dir=out_dir, workers=workers,
                  force="--force" in flags)

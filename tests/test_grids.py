@@ -70,6 +70,35 @@ def test_export_csv(tmp_path):
     assert len(lines) == 4  # header + 3 seeds
 
 
+def test_export_html_explorer(tmp_path):
+    """HiPlot-role static explorer (bm/grids/_hiplot.py:13-30): one
+    self-contained HTML with the grid's rows, metric columns from any
+    finished runs, and the interactive parallel-coordinates JS."""
+    import json as _json
+
+    from brainmagick_tpu.grids.explore import export_html
+    from brainmagick_tpu.grids.runner import get_grid
+
+    _, jobs = get_grid("nmi.wordlists")
+    sig = jobs[0].to_config().sig
+    xp = tmp_path / "xps" / sig
+    xp.mkdir(parents=True)
+    (xp / "history.json").write_text(_json.dumps([
+        {"train": {"loss": 2.5}, "valid": {"loss": 2.1, "best": 2.1},
+         "test": {"wer_vocab": 0.55}}]))
+
+    dest = export_html("nmi.wordlists", out_dir=str(tmp_path),
+                       dest=str(tmp_path / "grid.html"))
+    page = dest.read_text()
+    assert sig in page
+    assert "valid.loss" in page           # metric column made it in
+    assert "parallel" in page.lower() or "polyline" in page
+    assert "<script>" in page and "http" not in page.split("<script>")[1][:200]
+    # all three seeds present as data rows
+    data = page.split("const DATA = ", 1)[1].split(";\n", 1)[0]
+    assert len(_json.loads(data)) == len(jobs)
+
+
 def test_simple_grid_searcher():
     from brainmagick_tpu.grids.launcher import SimpleGridSearcher
 
