@@ -213,6 +213,17 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
         from .explore import export_html
         export_html(name, out_dir=out_dir)
         return
+    if "--sbatch" in flags:
+        from .slurm import export_sbatch
+        kwargs: tp.Dict[str, tp.Any] = {}
+        for flag in flags:
+            for key in ("partition", "time", "cpus_per_task"):
+                if flag.startswith(f"--{key}="):
+                    val = flag.split("=", 1)[1]
+                    kwargs[key] = int(val) if key == "cpus_per_task" else val
+        export_sbatch(name, out_dir=out_dir, force="--force" in flags,
+                      **kwargs)
+        return
     if "--run" in flags:
         run_jobs(jobs, out_dir=out_dir, workers=workers,
                  force="--force" in flags)

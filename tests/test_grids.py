@@ -99,6 +99,32 @@ def test_export_html_explorer(tmp_path):
     assert len(_json.loads(data)) == len(jobs)
 
 
+def test_export_sbatch(tmp_path):
+    """SLURM array emitter: one case per PENDING job (done-marker
+    resume like runner.run_jobs), per-task logs, real train commands
+    (reference role: Dora/submitit arrays, run_eval_probs.py:497-513)."""
+    import json as _json
+
+    from brainmagick_tpu.grids.runner import get_grid
+    from brainmagick_tpu.grids.slurm import export_sbatch
+
+    _, jobs = get_grid("nmi.wordlists")
+    done = tmp_path / "xps" / jobs[0].sig
+    done.mkdir(parents=True)
+    (done / "done.json").write_text(_json.dumps({"epochs": 2}))
+
+    dest = export_sbatch("nmi.wordlists", out_dir=str(tmp_path),
+                         partition="tpu", time="12:00:00")
+    script = dest.read_text()
+    assert f"#SBATCH --array=0-{len(jobs) - 2}" in script  # one done
+    assert "#SBATCH --partition=tpu" in script
+    assert "--time=12:00:00" in script
+    assert "brainmagick_tpu.train" in script
+    assert jobs[0].sig not in script  # completed job excluded
+    # every pending job contributes one case line (+1 for the *) guard)
+    assert script.count(";;") == (len(jobs) - 1) + 1
+
+
 def test_simple_grid_searcher():
     from brainmagick_tpu.grids.launcher import SimpleGridSearcher
 
