@@ -374,14 +374,28 @@ class _BaseWav2Vec(base.Feature):
         """Flax port with weights converted from the torch checkpoint.
         The encoder stack runs under lax.scan (compile time O(1) in
         depth — the unrolled 24-layer graph takes tens of minutes
-        through a remote compiler)."""
+        through a remote compiler). The converted weights are
+        device_put ONCE: passing the numpy tree to apply() re-uploads
+        the full ~1.2 GB checkpoint on EVERY call (measured 34.7 s per
+        4s chunk over the dev relay vs milliseconds resident)."""
+        import jax
+
         from ..models.wav2vec2 import (Wav2Vec2Model, config_from_hf,
                                        convert_torch_weights)
         torch_model = self.model
         cfg = config_from_hf(torch_model.config, scan_layers=True)
-        return (Wav2Vec2Model(cfg),
-                {"params": convert_torch_weights(torch_model,
-                                                 scan_layers=True)})
+        variables = jax.device_put(
+            {"params": convert_torch_weights(torch_model,
+                                             scan_layers=True)})
+        return Wav2Vec2Model(cfg), variables
+
+    def _load_jax_forward(self):
+        """Jitted forward over the cached model/weights: one dispatch
+        per chunk instead of an eagerly-traced op stream (each eager op
+        is a network round trip on relayed accelerators)."""
+        import jax
+        model, variables = self._jax_cache.get(self._load_jax_model)
+        return jax.jit(lambda wav: model.apply(variables, wav))
 
     def _compute_hidden_states(self, name: str, filepath: str, start: float,
                                stop: float,
@@ -390,9 +404,10 @@ class _BaseWav2Vec(base.Feature):
         if self.backend == "jax":
             input_values = np.asarray(
                 self._preprocess_wav(filepath, start, stop))
-            model, variables = self._jax_cache.get(self._load_jax_model)
-            last, extract, hidden = model.apply(
-                variables, jnp.asarray(input_values))
+            forward = MemoryCache(
+                "Wav2VecEmbedding", "jax_forward").get(
+                    self._load_jax_forward)
+            last, extract, hidden = forward(jnp.asarray(input_values))
             if name == "hidden_states":
                 out = np.stack([np.asarray(h) for h in hidden])
             elif name == "extract_features":
