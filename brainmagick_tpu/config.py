@@ -188,8 +188,12 @@ SIMPLECONV_DEFAULTS: tp.Dict[str, tp.Any] = dict(
     #                        (see models.common.FusedConvBN)
     #   fused_head=True      merger+initial+subject as one per-recording
     #                        matrix (same params; SimpleConv._fused_head)
+    #   gelu_exact=False     tanh-approx gelu (~5e-4 off the erf form)
+    #                        — XLA lowers erf ~50% slower on TPU; keep
+    #                        True for reference-checkpoint parity
     dtype=None, output_dtype=None, output_layout="bct", conv_impl="conv",
-    bn_conv_bias=True, fused_conv_bn=False, fused_head=False)
+    bn_conv_bias=True, fused_conv_bn=False, fused_head=False,
+    gelu_exact=True)
 
 CONVRNN_DEFAULTS: tp.Dict[str, tp.Any] = dict(
     concatenate=False, depth=2, linear_out=False, complex_out=False,
@@ -379,8 +383,14 @@ def apply_preset(cfg: MainConfig, name: str) -> MainConfig:
         # fused_head: merger+initial+subject folded into one
         # per-recording matmul — measured 36.0 -> 34.0 ms on the
         # shipped step (same params/function, doc/perf_playbook.md)
+        # gelu_exact=False: XLA's erf lowering costs ~50% over the tanh
+        # approximation on the paper encoder (isolated fwd+bwd 23.8 vs
+        # 35.6 ms; shipped step 58.5 -> ~32 ms — doc/perf_playbook.md).
+        # Training from scratch is insensitive to the ~5e-4 activation
+        # delta; converted reference checkpoints keep the erf default.
         cfg.simpleconv.update(dtype="bfloat16", output_dtype="bfloat16",
-                              bn_conv_bias=False, fused_head=True)
+                              bn_conv_bias=False, fused_head=True,
+                              gelu_exact=False)
         cfg.clip.compute_dtype = "bfloat16"
         cfg.parallel.transfer_dtype = "bfloat16"
     elif name == "clip_conv_v5e8":

@@ -562,12 +562,18 @@ class DualPathRNN(nn.Module):
         return x[:, :T]
 
 
-def get_activation(gelu: bool = False, relu_leakiness: float = 0.0
+def get_activation(gelu: bool = False, relu_leakiness: float = 0.0,
+                   gelu_exact: bool = True
                    ) -> tp.Callable[[jax.Array], jax.Array]:
     if gelu:
-        # exact erf form: torch nn.GELU's default (flax defaults to the
-        # tanh approximation, ~5e-4 off — tests/test_reference_parity.py)
-        return partial(nn.gelu, approximate=False)
+        # gelu_exact=True: erf form, torch nn.GELU's default — required
+        # for bit-level parity with reference checkpoints
+        # (tests/test_reference_parity.py). gelu_exact=False: the tanh
+        # approximation (~5e-4 off), which XLA lowers ~50% cheaper on
+        # TPU (erf fwd+bwd measured 23.8 -> 35.6 ms on the paper
+        # encoder, doc/perf_playbook.md) — the clip_conv_tpu training
+        # recipe uses it.
+        return partial(nn.gelu, approximate=not gelu_exact)
     if relu_leakiness:
         return partial(nn.leaky_relu, negative_slope=relu_leakiness)
     return nn.relu

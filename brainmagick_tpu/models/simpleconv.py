@@ -55,6 +55,9 @@ class SimpleConv(nn.Module):
     glu_context: int = 0
     glu_glu: bool = True
     gelu: bool = False
+    #: erf gelu (torch parity) vs tanh approximation (~50% cheaper on
+    #: TPU; see models.common.get_activation)
+    gelu_exact: bool = True
     # dual path rnn
     dual_path: int = 0
     # dropouts, BN, activations
@@ -181,7 +184,8 @@ class SimpleConv(nn.Module):
             raise ValueError("in_channels and hidden keys must match "
                              f"({set(self.in_channels)} vs {set(self.hidden)})")
         assert self.kernel_size % 2 == 1, "odd kernel required for padding"
-        act = get_activation(self.gelu, self.relu_leakiness)
+        act = get_activation(self.gelu, self.relu_leakiness,
+                             self.gelu_exact)
         length = next(iter(inputs.values())).shape[-1]
         dtype = jnp.dtype(self.dtype) if self.dtype is not None else None
 

@@ -533,3 +533,40 @@ def test_fused_head_matches_unfused():
                            positions, train=False, **call_kw)
     np.testing.assert_allclose(np.asarray(fallback), np.asarray(ref),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_gelu_exact_knob():
+    """gelu_exact selects the erf (torch-parity) vs tanh-approx form.
+
+    The TPU recipe trains with the tanh approximation because XLA's
+    erf lowering costs ~50% more on the paper encoder (measured,
+    doc/perf_playbook.md); converted reference checkpoints keep the
+    erf default (reference: torch nn.GELU at
+    /root/reference/bm/models/common.py via SimpleConv's `gelu`).
+    """
+    from scipy.special import erf
+
+    from brainmagick_tpu.config import MainConfig, apply_preset
+    from brainmagick_tpu.models.common import get_activation
+
+    x = np.linspace(-4, 4, 101, dtype=np.float32)
+    exact = np.asarray(get_activation(gelu=True)(jnp.asarray(x)))
+    np.testing.assert_allclose(
+        exact, x * 0.5 * (1 + erf(x / np.sqrt(2))), atol=1e-6)
+
+    approx = np.asarray(
+        get_activation(gelu=True, gelu_exact=False)(jnp.asarray(x)))
+    inner = np.sqrt(2 / np.pi) * (x + 0.044715 * x ** 3)
+    np.testing.assert_allclose(
+        approx, x * 0.5 * (1 + np.tanh(inner)), atol=1e-5)
+
+    # the two forms are within 5e-3 of each other (training-neutral)
+    # but NOT identical (so the knob is observable)
+    assert 1e-6 < np.abs(exact - approx).max() < 5e-3
+
+    # preset wiring: the TPU recipe opts into the approximation, the
+    # reference-faithful preset (and so convert.py) keeps erf
+    tpu = apply_preset(MainConfig(), "clip_conv_tpu")
+    assert tpu.simpleconv["gelu_exact"] is False
+    ref = apply_preset(MainConfig(), "clip_conv")
+    assert ref.simpleconv["gelu_exact"] is True
