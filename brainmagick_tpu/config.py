@@ -250,6 +250,11 @@ class ParallelConfig:
     #: Same loss/gradients as the all_gather path (tests); off by
     #: default to match the reference's memory/XLA-collective profile
     ring_negatives: bool = False
+    #: persist XLA compiles across runs (parallel.
+    #: enable_compilation_cache): the ~37 s paper-step compile is paid
+    #: once per (config, jaxlib) instead of once per grid job / eval
+    #: reload. Directory: BM_TPU_XLA_CACHE, else <env.cache>/xla
+    compilation_cache: bool = True
 
 
 @dataclass

@@ -356,6 +356,11 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
                   (argv if argv is not None else sys.argv[1:]))
     out_dir = tokens.get("out_dir", "./outputs")
     n_negatives = int(tokens.get("n_negatives", 20_000))
+    if tokens.get("compilation_cache", "true").lower() != "false":
+        # eval sweeps re-load many XPs with the same compiled forward/
+        # scoring shapes — persist the compiles across processes
+        from .parallel import enable_compilation_cache
+        enable_compilation_cache()
 
     if "grid" in tokens:
         # evaluate every trained XP of a grid (replaces the reference's

@@ -16,6 +16,7 @@ contrastive negatives. The TPU-native equivalent here:
 
 from __future__ import annotations
 
+import os
 import typing as tp
 
 import jax
@@ -117,6 +118,43 @@ def step_compiler_options(args) -> tp.Optional[tp.Dict[str, str]]:
     if lim and jax.default_backend() in ("tpu", "axon"):
         return {"xla_tpu_scoped_vmem_limit_kib": str(int(lim))}
     return None
+
+
+def enable_compilation_cache(cache_dir: tp.Optional[tp.Union[str, "Path"]]
+                             = None,
+                             min_compile_time_secs: float = 1.0) -> "Path":
+    """Point JAX's persistent compilation cache at a durable directory.
+
+    The paper-shape training step costs ~37 s to compile; a grid of 48
+    XPs (or an eval sweep re-loading each of them) repays that tax per
+    process unless compiles persist across runs. The reference has no
+    equivalent (torch eager); on TPU this is the difference between a
+    grid spending minutes or hours in XLA. Identical configs hit the
+    cache exactly because the step jits close over static shapes only.
+
+    Resolution order for the directory: explicit argument, then the
+    BM_TPU_XLA_CACHE environment variable, then ``<env.cache>/xla``
+    next to the feature/dataset caches, then ``~/.cache/brainmagick_tpu
+    /xla``. Safe to call repeatedly (jax.config updates are idempotent)
+    and concurrently (the cache writes via atomic rename). CLIs call
+    this at startup, gated on ``parallel.compilation_cache``; library
+    users opt in by calling it themselves.
+    """
+    from pathlib import Path
+
+    from ..env import env
+    if cache_dir is None:
+        cache_dir = os.environ.get("BM_TPU_XLA_CACHE")
+    if cache_dir is None:
+        base = env.cache if env.cache is not None else (
+            Path.home() / ".cache" / "brainmagick_tpu")
+        cache_dir = Path(base) / "xla"
+    cache_dir = Path(cache_dir)
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_time_secs))
+    return cache_dir
 
 
 def average_metrics_across_processes(metrics: tp.Dict[str, float]

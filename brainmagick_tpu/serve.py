@@ -252,6 +252,9 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     if "sig" not in tokens:
         print(__doc__)
         return
+    if tokens.get("compilation_cache", "true").lower() != "false":
+        from .parallel import enable_compilation_cache
+        enable_compilation_cache()
     from .play import get_solver_from_sig
 
     out_dir = tokens.get("out_dir", "./outputs")

@@ -139,6 +139,9 @@ def run(args: MainConfig) -> float:
         # boundary, bm/train.py:139); coordinator/process env comes
         # from the launcher (TPU pods auto-detect)
         jax.distributed.initialize()
+    if args.parallel.compilation_cache:
+        from .parallel import enable_compilation_cache
+        enable_compilation_cache()
     solver = get_solver(args)
     if args.parallel.auto_mesh and jax.device_count() > 1:
         if args.optim.batch_size % jax.device_count() == 0:

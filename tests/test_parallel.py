@@ -492,3 +492,48 @@ def test_v5e8_paper_preset_reproduces_reference_pools(tmp_cache,
         solver.state, arrays, solver.norm_arrays, pw, None, None, rng)
     np.testing.assert_allclose(float(m2["loss"]), float(m8["loss"]),
                                rtol=2e-3)
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    """Persistent-compile-cache wiring: directory resolution order and
+    actual cache writes on a jitted compile (min_compile_time=0 so the
+    instant CPU compile qualifies)."""
+    import jax
+    import jax.numpy as jnp
+
+    from brainmagick_tpu.env import env
+    from brainmagick_tpu.parallel import enable_compilation_cache
+
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        # resolution: explicit arg wins
+        explicit = enable_compilation_cache(tmp_path / "explicit")
+        assert explicit == tmp_path / "explicit" and explicit.is_dir()
+        # resolution: BM_TPU_XLA_CACHE env var
+        monkeypatch.setenv("BM_TPU_XLA_CACHE", str(tmp_path / "envvar"))
+        assert enable_compilation_cache() == tmp_path / "envvar"
+        monkeypatch.delenv("BM_TPU_XLA_CACHE")
+        # resolution: next to the data caches
+        with env.temporary(cache=tmp_path / "datacache"):
+            assert enable_compilation_cache() == \
+                tmp_path / "datacache" / "xla"
+
+        target = enable_compilation_cache(tmp_path / "xla",
+                                          min_compile_time_secs=0.0)
+
+        @jax.jit
+        def f(x):
+            return jnp.sin(x) * 2.0 + jnp.tanh(x)
+
+        f(jnp.arange(8, dtype=jnp.float32)).block_until_ready()
+        assert any(target.iterdir()), "no cache entry written"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          prev_min)
+
+
+def test_compilation_cache_config_knob():
+    from brainmagick_tpu.config import MainConfig
+    assert MainConfig().parallel.compilation_cache is True
