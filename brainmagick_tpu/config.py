@@ -412,9 +412,11 @@ def apply_preset(cfg: MainConfig, name: str) -> MainConfig:
         apply_preset(cfg, "clip_conv_tpu")
         cfg.optim.batch_size = 2048
         cfg.parallel.negatives_group_size = 1
-        # 1200 max_batches at global 2048 sweeps 8x the samples per
-        # epoch; keep the reference's optimization-steps budget instead
-        # conservative (below sqrt(8)) LR scaling for the 8x batch
+        # max_batches stays at the recipe's 1200: at global batch 2048
+        # each epoch sweeps 8x the samples, deliberately keeping the
+        # reference's optimization-steps budget rather than its
+        # samples-per-epoch budget. LR doubles — conservative (below
+        # the sqrt(8) ~= 2.8 rule) scaling for the 8x batch
         cfg.optim.lr = cfg.optim.lr * 2
     elif name == "clip_conv_v5e8_paper":
         # EXACT-reproduction v5e-8 recipe: the paper's global batch 256

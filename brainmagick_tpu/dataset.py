@@ -40,6 +40,9 @@ from .utils import Frequency, roundrobin
 
 logger = logging.getLogger(__name__)
 
+#: serializes ALL cold feature-track renders (see _get_track)
+_TRACK_RENDER_LOCK = threading.Lock()
+
 Datasets = namedtuple("Datasets", "train valid test")
 
 
@@ -156,17 +159,22 @@ class SegmentDataset:
         self._n_times = self.sample_rate.to_ind(tmax - tmin) + 1
         self._track: tp.Optional[np.ndarray] = None  # [D+1, T] features+mask
         self._track_sr: tp.Optional[Frequency] = None
-        self._track_lock = threading.Lock()
         self._meg_override: tp.Optional[np.ndarray] = None  # autoreject
 
     # -- feature track -------------------------------------------------------
 
     def _get_track(self) -> tp.Tuple[np.ndarray, Frequency]:
         """Dense per-recording feature track (memmap-cached). Guarded by
-        a lock: loader worker threads share this dataset and must not
-        render (and cache-write) the track concurrently."""
+        a process-wide lock: renders dispatch JAX (resample, mel,
+        wav2vec) and load feature models, neither of which tolerates
+        concurrent dispatch from multiple host threads (relayed-TPU
+        backends reject it; MemoryCache's check-then-act would load the
+        ~1.2 GB wav2vec checkpoint once per thread). Loader workers and
+        the parallel scaler fit may hit cold tracks of DIFFERENT
+        datasets at once, so the lock must be global, not per-dataset;
+        warm item fetches (memmap slices) never take it."""
         if self._track is None:
-            with self._track_lock:
+            with _TRACK_RENDER_LOCK:
                 if self._track is None:
                     self._render_track()
         return self._track, self._track_sr
@@ -179,7 +187,9 @@ class SegmentDataset:
             data, mask, _ = self.features(0.0, duration)
             return np.concatenate([data, mask.astype(np.float32)], axis=0)
 
+        from .ops.dsp import DSP_VERSION  # deferred: jax-free import path
         cache = Cache("feature_tracks", args=dict(
+            dsp_version=DSP_VERSION,
             study=self.recording.study_name(),
             recording=self.recording.recording_uid,
             features=list(self.features.keys()),
@@ -330,17 +340,17 @@ class SegmentDataset:
         event_lists = []
         if with_events:
             from .events import DataSlice
+            starts_arr, stops_arr, records = self._event_records()
             for i in indices:
                 start, stop = self._bounds_times(int(i))
-                select = ((self.features.events["_stop"] >= start)
-                          & (self.features.events.start < stop))
+                select = np.flatnonzero(
+                    (stops_arr >= start) & (starts_arr < stop))
                 # leading DataSlice marks the epoch bounds — consumers
                 # read events[0].start as the epoch start (eval.py)
                 marker = DataSlice(start=start, duration=stop - start,
                                    sample_rate=float(track_sr),
                                    language=None, modality=None)
-                event_lists.append([marker] + list(
-                    self.features.events.loc[select].event.iter()))
+                event_lists.append([marker] + [records[k] for k in select])
         positions = self._get_positions()
         return SegmentBatch(
             meg=meg, features=features, features_mask=mask,

@@ -147,15 +147,19 @@ COLUMNS.forEach(c => {
     tx.setAttribute('x', x + 3); tx.setAttribute('y', ty + 3);
     tx.textContent = fmt(t); g.appendChild(tx);
   });
-  // ns-drag on the axis creates a brush filter
+  // ns-drag on the axis creates a brush filter. Coordinates come from
+  // clientY relative to the svg box: offsetY is relative to whatever
+  // element sits under the cursor (polyline, table, ...), which is not
+  // the scale space scales[c] lives in.
+  const svgY = ev => ev.clientY - svg.getBoundingClientRect().top;
   let y0 = null, rect = null;
   line.addEventListener('mousedown', e => {
-    y0 = e.offsetY;
+    y0 = svgY(e);
     rect = document.createElementNS(NS, 'rect');
     rect.setAttribute('x', x - 6); rect.setAttribute('width', 12);
     rect.setAttribute('class', 'brush'); g.appendChild(rect);
     const move = ev => {
-      const y1 = ev.offsetY, lo = Math.min(y0, y1), hi = Math.max(y0, y1);
+      const y1 = svgY(ev), lo = Math.min(y0, y1), hi = Math.max(y0, y1);
       rect.setAttribute('y', lo); rect.setAttribute('height', hi - lo);
       brushes[c] = [lo, hi]; redraw();
     };
@@ -180,6 +184,8 @@ document.getElementById('clear').addEventListener('click', () => {
 });
 sel.addEventListener('change', redraw);
 // sortable table
+const esc = s => String(s).replace(/&/g, '&amp;').replace(/</g, '&lt;')
+  .replace(/>/g, '&gt;').replace(/"/g, '&quot;');
 const box = document.getElementById('tablebox');
 function buildTable(sortCol, desc) {
   const order = DATA.map((r, i) => i);
@@ -190,10 +196,10 @@ function buildTable(sortCol, desc) {
     if (vb === null || vb === undefined) return -1;
     return (va < vb ? -1 : 1) * (desc ? -1 : 1);
   });
-  let h = '<table><tr>' + COLUMNS.map(c => `<th data-c="${c}">${c}</th>`).join('') + '</tr>';
+  let h = '<table><tr>' + COLUMNS.map(c => `<th data-c="${esc(c)}">${esc(c)}</th>`).join('') + '</tr>';
   order.forEach(i => {
     const r = DATA[i];
-    h += `<tr id="tr${i}">` + COLUMNS.map(c => `<td>${r[c] === null || r[c] === undefined ? '' : r[c]}</td>`).join('') + '</tr>';
+    h += `<tr id="tr${i}">` + COLUMNS.map(c => `<td>${r[c] === null || r[c] === undefined ? '' : esc(r[c])}</td>`).join('') + '</tr>';
   });
   box.innerHTML = h + '</table>';
   box.querySelectorAll('th').forEach(th => th.addEventListener('click', () =>
@@ -257,8 +263,11 @@ def export_html(name: str, out_dir: str = "./outputs",
             .replace("__NAME__", html.escape(name))
             .replace("__NROWS__", str(len(rows)))
             .replace("__WIDTH__", str(width))
-            .replace("__DATA__", json.dumps(data))
-            .replace("__COLUMNS__", json.dumps(columns)))
+            # '</' -> '<\/': a '</script>' inside a sig/override string
+            # must not terminate the inline script block
+            .replace("__DATA__", json.dumps(data).replace("</", "<\\/"))
+            .replace("__COLUMNS__",
+                     json.dumps(columns).replace("</", "<\\/")))
     dest_path = Path(dest or (Path(out_dir) / f"grid_{name}.html"))
     dest_path.parent.mkdir(parents=True, exist_ok=True)
     dest_path.write_text(page)

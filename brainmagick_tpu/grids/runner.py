@@ -217,10 +217,12 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
         from .slurm import export_sbatch
         kwargs: tp.Dict[str, tp.Any] = {}
         for flag in flags:
-            for key in ("partition", "time", "cpus_per_task"):
+            for key in ("partition", "time", "cpus_per_task",
+                        "gpus_per_task"):
                 if flag.startswith(f"--{key}="):
                     val = flag.split("=", 1)[1]
-                    kwargs[key] = int(val) if key == "cpus_per_task" else val
+                    kwargs[key] = (int(val) if key.endswith("_per_task")
+                                   else val)
         export_sbatch(name, out_dir=out_dir, force="--force" in flags,
                       **kwargs)
         return

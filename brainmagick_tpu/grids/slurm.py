@@ -42,6 +42,7 @@ esac
 def export_sbatch(name: str, out_dir: str = "./outputs",
                   dest: tp.Optional[str] = None, partition: str = "",
                   time: str = "24:00:00", cpus_per_task: int = 8,
+                  gpus_per_task: int = 0,
                   force: bool = False, workdir: tp.Optional[str] = None
                   ) -> Path:
     """Write an array script covering the grid's pending jobs."""
@@ -57,9 +58,16 @@ def export_sbatch(name: str, out_dir: str = "./outputs",
     if not pending:
         raise SystemExit(f"grid {name}: all {len(jobs)} jobs already "
                          "trained (--force to rerun)")
-    logs = out / "logs"
+    # absolute: slurmd resolves --output against the SUBMISSION cwd,
+    # which need not be the cwd this script was emitted from
+    logs = (out / "logs").resolve()
     logs.mkdir(parents=True, exist_ok=True)
-    extra = f"#SBATCH --partition={partition}" if partition else ""
+    extra_lines = []
+    if partition:
+        extra_lines.append(f"#SBATCH --partition={partition}")
+    if gpus_per_task:
+        extra_lines.append(f"#SBATCH --gpus-per-task={gpus_per_task}")
+    extra = "\n".join(extra_lines)
     body = _HEADER.format(
         name=f"bm_{name.replace('.', '_')}", last=len(pending) - 1,
         logs=shlex.quote(str(logs)), time=time, cpus=cpus_per_task,

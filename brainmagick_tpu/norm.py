@@ -160,11 +160,13 @@ class BatchScaler:
         """Fit over a sample of epochs from each per-recording dataset.
 
         Recordings are independent, so they are fitted concurrently on
-        multi-core hosts (item fetches are memmap slices + track
-        renders); per-recording seeds and the feature concatenation
-        order are position-stable, so the result is bit-identical to a
-        sequential fit. On a single-core host the pool degenerates to
-        one worker (thread churn measured +45% there)."""
+        multi-core hosts (warm item fetches are memmap slices; COLD
+        track renders serialize on dataset._TRACK_RENDER_LOCK — they
+        dispatch JAX and load feature models, neither thread-safe);
+        per-recording seeds and the feature concatenation order are
+        position-stable, so the result is bit-identical to a sequential
+        fit. On a single-core host the pool degenerates to one worker
+        (thread churn measured +45% there)."""
         def fit_one(dset):
             n = min(len(dset), self.n_samples_per_recording)
             rng = np.random.RandomState(rng_seed)

@@ -27,6 +27,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
+#: Version of the DSP numerics. Bump whenever resample/filter output
+#: changes for the same inputs (kernel design, boundary padding, output
+#: length): every disk cache derived from these kernels (preprocessed
+#: raws, feature tracks, fitted scalers) folds this into its key, so a
+#: semantics change invalidates stale artifacts instead of silently
+#: mixing conventions. v2 = julius parity (zero boundary padding, floor
+#: output length — round 4; v1 was edge padding + ceil length).
+DSP_VERSION = 2
+
+
 def _sinc(x: np.ndarray) -> np.ndarray:
     """sin(x)/x with the 0 -> 1 limit (note: NOT numpy's normalized sinc)."""
     return np.sinc(x / np.pi)

@@ -99,7 +99,10 @@ class Solver:
         #: wall-clock of each construction phase, printed by bench.py
         self.build_timings: tp.Dict[str, float] = {}
         self.scaler: tp.Optional[BatchScaler] = None
-        self.scaler_cache = Cache("scaler", (args.dset, args.norm))
+        # dsp.DSP_VERSION: the scaler is fitted on DSP-derived feature
+        # values, so a numerics change must refit, not reuse
+        self.scaler_cache = Cache(
+            "scaler", (args.dset, args.norm, dsp.DSP_VERSION))
         with self._timed("scaler"):
             self._init_scaler()
         if args.optim.loss == "regression_classification":

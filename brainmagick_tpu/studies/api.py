@@ -298,7 +298,13 @@ class Recording:
         if sample_rate == 0 and highpass == 0:
             return self.raw()
 
-        name = f"meg-sr{sample_rate}-hp{highpass}.npy"
+        from ..ops import dsp  # deferred: keeps study parsing jax-free
+
+        # dsp{N}: resample/filter numerics version — a semantics change
+        # (e.g. the round-4 v1->v2 boundary-padding/output-length switch
+        # to julius parity) must not reuse artifacts computed with the
+        # old convention (ops/dsp.py DSP_VERSION)
+        name = f"meg-sr{sample_rate}-hp{highpass}-dsp{dsp.DSP_VERSION}.npy"
         filepath = None if self._cache_folder is None else self._cache_folder / name
         if filepath is not None and filepath.exists():
             meta = self._get_meta()

@@ -90,7 +90,9 @@ def main() -> None:
     t0 = time.perf_counter()
     n = 0
     for batch, pad_weight in loader:  # cold: includes lazy track renders
-        n += int(pad_weight.sum())
+        # count PROCESSED rows (incl. pad) — the staged/e2e rates below
+        # divide by B * n_batches, so the decomposition must share units
+        n += len(pad_weight)
         last = (batch, pad_weight)
     dt_cold = time.perf_counter() - t0
     t0 = time.perf_counter()

@@ -153,6 +153,22 @@ class TestFakeStudy:
         np.testing.assert_allclose(np.asarray(pre.data),
                                    np.asarray(pre2.data), atol=1e-6)
 
+    def test_preprocessed_cache_versioned_by_dsp(self, tmp_cache):
+        """The on-disk name embeds ops.dsp.DSP_VERSION: a DSP numerics
+        change (e.g. the round-4 padding/length switch to julius
+        parity) must invalidate stale preprocessed raws, not reuse
+        arrays computed with the old convention."""
+        from pathlib import Path
+
+        from brainmagick_tpu import studies
+        from brainmagick_tpu.ops.dsp import DSP_VERSION
+
+        rec = next(studies.register["fake"].iter())
+        rec.preprocessed(120)
+        hits = list(Path(tmp_cache).rglob("meg-sr120-*.npy"))
+        assert hits, "preprocessed raw was not cached"
+        assert all(f"dsp{DSP_VERSION}" in p.name for p in hits), hits
+
     def test_events(self, tmp_cache):
         from brainmagick_tpu import studies
 
