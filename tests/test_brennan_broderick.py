@@ -29,9 +29,9 @@ def _write_wav(path: Path, seconds: float = 3.0) -> None:
         f.writeframes(sig.tobytes())
 
 
-@pytest.fixture()
-def brennan_root(tmp_path):
-    root = tmp_path / "brennan"
+def write_brennan_fixture(root: Path) -> None:
+    """Deterministic brennan2019 study tree (shared by the pytest
+    fixture and the golden-CSV regeneration entry point below)."""
     download = root / "download"
     (download / "proc").mkdir(parents=True)
 
@@ -82,10 +82,56 @@ def brennan_root(tmp_path):
     )
     savemat(download / "S01.mat", dict(raw=raw))
 
+
+@pytest.fixture()
+def brennan_root(tmp_path):
+    root = tmp_path / "brennan"
+    write_brennan_fixture(root)
     cache = tmp_path / "fake_cache"
     cache.mkdir()
     with env.temporary(studies={"brennan2019": root}, cache=cache):
         yield root
+
+
+BRENNAN_GOLDEN_CSV = (Path(__file__).parent / "golden"
+                      / "brennan_events.csv")
+
+
+def _parse_brennan_golden_fixture(tmp_path: Path) -> pd.DataFrame:
+    root = tmp_path / "brennan_golden"
+    write_brennan_fixture(root)
+    cache = tmp_path / "brennan_golden_cache"
+    cache.mkdir(parents=True, exist_ok=True)
+    with env.temporary(studies={"brennan2019": root}, cache=cache):
+        from brainmagick_tpu import studies
+        rec = next(studies.register["brennan2019"].iter())
+        df = rec.events().copy()
+    # machine-dependent tmp prefix -> keep the basename only
+    if "filepath" in df.columns:
+        df["filepath"] = df["filepath"].map(
+            lambda p: Path(p).name if isinstance(p, str) and p else p)
+    return df.reset_index(drop=True)
+
+
+def test_brennan_events_golden(tmp_path):
+    """The .mat/story parser's exact event output is pinned by a
+    committed CSV (like broderick's) — any rewrite of the brennan
+    trl/story alignment must keep it green."""
+    df = _parse_brennan_golden_fixture(tmp_path)
+    golden = pd.read_csv(BRENNAN_GOLDEN_CSV)
+    assert sorted(df.columns) == sorted(golden.columns)
+    assert len(df) == len(golden)
+    for col in golden.columns:
+        got, want = df[col], golden[col]
+        if pd.api.types.is_numeric_dtype(want) and not \
+                pd.api.types.is_bool_dtype(want):
+            np.testing.assert_allclose(
+                pd.to_numeric(got).to_numpy(dtype=np.float64),
+                want.to_numpy(dtype=np.float64),
+                atol=1e-9, equal_nan=True, err_msg=col)
+        else:
+            assert got.fillna("").astype(str).tolist() == \
+                want.fillna("").astype(str).tolist(), col
 
 
 def test_brennan_pipeline(brennan_root):
@@ -244,6 +290,10 @@ if __name__ == "__main__":
         GOLDEN_CSV.parent.mkdir(exist_ok=True)
         out.to_csv(GOLDEN_CSV, index=False)
         print(f"wrote {GOLDEN_CSV} ({len(out)} rows)")
+        with tempfile.TemporaryDirectory() as td:
+            out = _parse_brennan_golden_fixture(Path(td))
+        out.to_csv(BRENNAN_GOLDEN_CSV, index=False)
+        print(f"wrote {BRENNAN_GOLDEN_CSV} ({len(out)} rows)")
 
 
 @pytest.fixture()
