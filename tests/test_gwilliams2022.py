@@ -28,9 +28,10 @@ def _write_wav(path: Path, seconds: float) -> None:
         f.writeframes(sig.tobytes())
 
 
-@pytest.fixture(params=["fif", "con"])
-def gwilliams_root(tmp_path, request):
-    root = tmp_path / "gwilliams"
+def write_gwilliams_fixture(root: Path, kind: str) -> None:
+    """Deterministic gwilliams2022 study tree with the raw stored as
+    `kind` in {'fif', 'con'} (shared by the pytest fixture and the
+    golden-CSV regeneration entry point below)."""
     download = root / "download"
     download.mkdir(parents=True)
     pd.DataFrame({"participant_id": ["sub-01"]}).to_csv(
@@ -61,22 +62,66 @@ def gwilliams_root(tmp_path, request):
     rng = np.random.RandomState(0)
     n_chan = 16
     positions = rng.rand(n_chan, 2).astype(np.float32)
-    scale = 1.0 if request.param == "fif" else 1e-13  # Tesla for .con
+    scale = 1.0 if kind == "fif" else 1e-13  # Tesla for .con
     raw = RawData(data=rng.randn(n_chan, int(1000 * (t + 2))
                                  ).astype(np.float32) * scale,
                   sample_rate=1000.0,
                   ch_names=[f"MEG{k:03d}" for k in range(n_chan)],
                   positions=positions, ch_kinds=[1] * n_chan)
-    if request.param == "fif":
+    if kind == "fif":
         write_fif(meg_dir / f"{stem}_meg.fif", raw)
     else:
         from brainmagick_tpu.studies.kit import write_kit
         write_kit(meg_dir / f"{stem}_meg.con", raw)
 
+
+@pytest.fixture(params=["fif", "con"])
+def gwilliams_root(tmp_path, request):
+    root = tmp_path / "gwilliams"
+    write_gwilliams_fixture(root, request.param)
     cache = tmp_path / "fake_cache"
     cache.mkdir()
     with env.temporary(studies={"gwilliams2022": root}, cache=cache):
         yield root
+
+
+GOLDEN_CSV = Path(__file__).parent / "golden" / "gwilliams_events.csv"
+
+
+def _parse_golden_fixture(tmp_path: Path) -> pd.DataFrame:
+    root = tmp_path / "gwilliams_golden"
+    write_gwilliams_fixture(root, "fif")  # events identical for .con
+    cache = tmp_path / "gwilliams_golden_cache"
+    cache.mkdir(parents=True, exist_ok=True)
+    with env.temporary(studies={"gwilliams2022": root}, cache=cache):
+        from brainmagick_tpu import studies
+        rec = next(studies.register["gwilliams2022"].iter())
+        df = rec.events().copy()
+    # machine-dependent tmp prefix -> keep the basename only
+    if "filepath" in df.columns:
+        df["filepath"] = df["filepath"].map(
+            lambda p: Path(p).name if isinstance(p, str) and p else p)
+    return df.reset_index(drop=True)
+
+
+def test_gwilliams_events_golden(tmp_path):
+    """The BIDS events.tsv parser's exact typed-event output is pinned
+    by a committed CSV (matching broderick/brennan/schoffelen)."""
+    df = _parse_golden_fixture(tmp_path)
+    golden = pd.read_csv(GOLDEN_CSV)
+    assert sorted(df.columns) == sorted(golden.columns)
+    assert len(df) == len(golden)
+    for col in golden.columns:
+        got, want = df[col], golden[col]
+        if pd.api.types.is_numeric_dtype(want) and not \
+                pd.api.types.is_bool_dtype(want):
+            np.testing.assert_allclose(
+                pd.to_numeric(got).to_numpy(dtype=np.float64),
+                want.to_numpy(dtype=np.float64),
+                atol=1e-9, equal_nan=True, err_msg=col)
+        else:
+            assert got.fillna("").astype(str).tolist() == \
+                want.fillna("").astype(str).tolist(), col
 
 
 def test_gwilliams_pipeline(gwilliams_root):
@@ -110,3 +155,14 @@ def test_gwilliams_pipeline(gwilliams_root):
     pre = rec.preprocessed(100)
     assert pre.sample_rate == 100
     assert abs(pre.data.shape[1] - raw.n_times // 10) <= 1
+
+
+if __name__ == "__main__":
+    import sys
+    import tempfile
+    if "--regen" in sys.argv:
+        with tempfile.TemporaryDirectory() as td:
+            out = _parse_golden_fixture(Path(td))
+        GOLDEN_CSV.parent.mkdir(exist_ok=True)
+        out.to_csv(GOLDEN_CSV, index=False)
+        print(f"wrote {GOLDEN_CSV} ({len(out)} rows)")
