@@ -25,6 +25,7 @@ import logging
 import pickle
 import time
 import typing as tp
+from concurrent import futures
 
 import jax
 import jax.numpy as jnp
@@ -122,6 +123,10 @@ class Solver:
         #: optional jax.sharding.Mesh for data-parallel training
         #: (set_mesh); None = single device
         self.mesh = None
+        # async checkpoint writer (commit/wait_checkpoint)
+        self._checkpoint_executor: tp.Optional[
+            futures.ThreadPoolExecutor] = None
+        self._checkpoint_future: tp.Optional[futures.Future] = None
         self.negative_pool = {name: None for name in ("train", "valid")}
         # resolved at construction, NOT written back into args: the XP
         # sig derives from the config delta, and a restore that
@@ -1121,19 +1126,51 @@ class Solver:
                       "params": jax.device_put(saved["params"]),
                       "batch_stats": jax.device_put(saved["batch_stats"])}
 
-    def commit(self) -> None:
-        """Checkpoint + metrics history (flashy commit parity)."""
+    def commit(self, block: bool = False) -> None:
+        """Checkpoint + metrics history (flashy commit parity).
+
+        With ``checkpoint_async`` (default) the pickle+disk write runs
+        on one background thread so the next epoch trains under it —
+        the reference blocks its loop on torch.save every epoch. The
+        payload is captured as host-side copies at call time (state via
+        device_get; history/pool containers shallow-copied — their past
+        entries are replaced, never mutated in place), writes stay
+        ordered and atomic (single worker + write_and_rename), and a
+        failed write raises at the NEXT commit / the end-of-train join
+        instead of disappearing. Crash-loss window: at most the one
+        pending epoch — the previous on-disk checkpoint stays intact
+        either way."""
         payload = dict(
             state=jax.device_get(self.state), best_state=self.best_state,
-            history=self.history, epoch=self.epoch + 1,
+            history=list(self.history), epoch=self.epoch + 1,
             best_loss=self.best_loss, best_epoch=self.best_epoch,
             last_test_epoch=self.last_test_epoch,
-            negative_pool=self.negative_pool, delta=self.args.delta())
-        with write_and_rename(self.checkpoint_path) as f:
-            pickle.dump(payload, f)
-        import json
-        with write_and_rename(self.folder / "history.json", "w") as f:
-            json.dump(self.history, f, indent=1, default=float)
+            negative_pool=dict(self.negative_pool),
+            delta=self.args.delta())
+
+        def write() -> None:
+            with write_and_rename(self.checkpoint_path) as f:
+                pickle.dump(payload, f)
+            import json
+            with write_and_rename(self.folder / "history.json", "w") as f:
+                json.dump(payload["history"], f, indent=1, default=float)
+
+        self.wait_checkpoint()  # order + surface any previous failure
+        if self.args.checkpoint_async and not block:
+            if self._checkpoint_executor is None:
+                self._checkpoint_executor = futures.ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="bm_ckpt")
+            self._checkpoint_future = self._checkpoint_executor.submit(
+                write)
+        else:
+            write()
+
+    def wait_checkpoint(self) -> None:
+        """Join the pending async checkpoint write (re-raises its
+        exception, if any)."""
+        future, self._checkpoint_future = self._checkpoint_future, None
+        if future is not None:
+            future.result()
 
     def restore(self) -> bool:
         """Resume from this XP's checkpoint, or warm-start from
