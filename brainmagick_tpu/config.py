@@ -277,6 +277,11 @@ class MainConfig:
     cache: tp.Optional[str] = "./cache"
     feature_models: tp.Optional[str] = "./features_models"
     early_stop_patience: int = 10
+    #: write checkpoints on a background thread so the next epoch trains
+    #: under the disk write (solver.commit). Cosmetic key: excluded from
+    #: the XP signature like dora.exclude keys
+    #: (/root/reference/bm/conf/config.yaml:150-158).
+    checkpoint_async: bool = True
     eval_every: int = 1
     eval_train_set: bool = False
     out_dir: str = "./outputs"
@@ -314,7 +319,8 @@ class MainConfig:
     # keys excluded from the signature (cosmetic, like dora.exclude)
     _SIG_EXCLUDE = ("num_prints", "device", "num_workers", "verbose",
                     "cache", "feature_models", "show", "out_dir",
-                    "download_only", "wandb", "tensorboard", "profile")
+                    "download_only", "wandb", "tensorboard", "profile",
+                    "checkpoint_async")
 
     def delta(self) -> tp.Dict[str, tp.Any]:
         """Non-default config deltas (flat dotted keys)."""

@@ -502,7 +502,7 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     solver = get_solver(args, training=False)
     sd = load_reference_checkpoint(path)
     load_into_solver(solver, sd)
-    solver.commit()
+    solver.commit(block=True)
     logger.info("Converted %s -> %s (sig %s); ready for "
                 "`python -m brainmagick_tpu.eval sig=%s`",
                 path, solver.checkpoint_path, args.sig, args.sig)

@@ -356,7 +356,11 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
                   (argv if argv is not None else sys.argv[1:]))
     out_dir = tokens.get("out_dir", "./outputs")
     n_negatives = int(tokens.get("n_negatives", 20_000))
-    if tokens.get("compilation_cache", "true").lower() != "false":
+    # accept both spellings of the knob: the bare token and the train
+    # CLI's `parallel.compilation_cache` config path
+    _cc = tokens.get("parallel.compilation_cache",
+                     tokens.get("compilation_cache", "true"))
+    if str(_cc).lower() != "false":
         # eval sweeps re-load many XPs with the same compiled forward/
         # scoring shapes — persist the compiles across processes
         from .parallel import enable_compilation_cache

@@ -314,6 +314,11 @@ class _BaseWav2Vec(base.Feature):
     event_kind = "sound"
     model_name = "facebook/wav2vec2-large-xlsr-53"
     model_sr = 16_000
+    #: hidden-state indices the jax forward COLLECTS (None = all L+1).
+    #: Wav2VecTransformer narrows this to its 5 target layers so the
+    #: encoder scan carries 5 accumulated states instead of 24 ys —
+    #: strictly less HBM, and small enough for slow remote compilers
+    jax_collect_layers: tp.Optional[tp.Tuple[int, ...]] = None
 
     def __init__(self, sample_rate: Frequency, normalized: bool = True,
                  random: bool = False, device: str = "cpu",
@@ -329,7 +334,6 @@ class _BaseWav2Vec(base.Feature):
         #: (numerics parity-tested in tests/test_wav2vec2.py)
         self.backend = backend
         self._model_cache = MemoryCache("Wav2VecEmbedding", "model")
-        self._jax_cache = MemoryCache("Wav2VecEmbedding", "jax_model")
 
     def _load_model(self):
         import os
@@ -374,20 +378,31 @@ class _BaseWav2Vec(base.Feature):
         """Flax port with weights converted from the torch checkpoint.
         The encoder stack runs under lax.scan (compile time O(1) in
         depth — the unrolled 24-layer graph takes tens of minutes
-        through a remote compiler). The converted weights are
-        device_put ONCE: passing the numpy tree to apply() re-uploads
-        the full ~1.2 GB checkpoint on EVERY call (measured 34.7 s per
-        4s chunk over the dev relay vs milliseconds resident)."""
+        through a remote compiler), collecting ONLY this feature's
+        target hidden layers (jax_collect_layers). The converted
+        weights are device_put ONCE: passing the numpy tree to apply()
+        re-uploads the full ~1.2 GB checkpoint on EVERY call (measured
+        34.7 s per 4s chunk over the dev relay vs ms resident)."""
         import jax
 
         from ..models.wav2vec2 import (Wav2Vec2Model, config_from_hf,
                                        convert_torch_weights)
         torch_model = self.model
-        cfg = config_from_hf(torch_model.config, scan_layers=True)
+        cfg = config_from_hf(torch_model.config, scan_layers=True,
+                             collect_layers=self.jax_collect_layers)
         variables = jax.device_put(
             {"params": convert_torch_weights(torch_model,
                                              scan_layers=True)})
         return Wav2Vec2Model(cfg), variables
+
+    @property
+    def _jax_cache(self) -> MemoryCache:
+        # keyed by the collected-layer selection: two features with
+        # different target layers must not share a compiled forward
+        return MemoryCache(
+            "Wav2VecEmbedding",
+            ("jax_model", self.model_name, self.random,
+             self.jax_collect_layers))
 
     def _load_jax_forward(self):
         """Jitted forward over the cached model/weights: one dispatch
@@ -405,8 +420,9 @@ class _BaseWav2Vec(base.Feature):
             input_values = np.asarray(
                 self._preprocess_wav(filepath, start, stop))
             forward = MemoryCache(
-                "Wav2VecEmbedding", "jax_forward").get(
-                    self._load_jax_forward)
+                "Wav2VecEmbedding",
+                ("jax_forward", self.model_name, self.random,
+                 self.jax_collect_layers)).get(self._load_jax_forward)
             last, extract, hidden = forward(jnp.asarray(input_values))
             if name == "hidden_states":
                 out = np.stack([np.asarray(h) for h in hidden])
@@ -415,7 +431,13 @@ class _BaseWav2Vec(base.Feature):
             else:
                 raise KeyError(name)
             if layers is not None:
-                out = out[layers].mean(0)
+                if (name == "hidden_states"
+                        and self.jax_collect_layers is not None):
+                    # the forward already collected exactly `layers`
+                    assert tuple(layers) == self.jax_collect_layers
+                    out = out.mean(0)
+                else:
+                    out = out[layers].mean(0)
             return out
 
         import torch
@@ -466,6 +488,7 @@ class Wav2VecTransformer(_BaseWav2Vec):
         super().__init__(sample_rate=sample_rate, normalized=normalized,
                          device=device, random=random, backend=backend)
         self.layers = tuple(layers)
+        self.jax_collect_layers = self.layers
 
     def get_on_overlap(self, event: events.Sound, overlap) -> np.ndarray:
         out = self._get_cached(event, overlap, "hidden_states",
@@ -478,6 +501,8 @@ class Wav2VecConvolution(_BaseWav2Vec):
     """Output of the conv feature encoder, dim 512
     (bm/features/audio.py:263-274)."""
     dimension = 512
+    #: needs only extract_features — collect no transformer states
+    jax_collect_layers: tp.Tuple[int, ...] = ()
 
     def get_on_overlap(self, event: events.Sound, overlap) -> np.ndarray:
         out = self._get_cached(event, overlap, "extract_features")

@@ -36,10 +36,15 @@ def explorer(launcher):
             "Wav2VecTransformer": {
                 "layers": [14, 15, 16, 17, 18], "device": "cpu",
                 "random": True}},
-        # run-length shrink only — the architecture stays paper-size
-        "optim.epochs": 2,
-        "optim.max_batches": 2,
+        # run-length shrink only — the architecture stays paper-size.
+        # The budget (~72 steps, lr boosted for the small batch) must be
+        # enough to pull the PLANTED linear w2v2->MEG map above chance
+        # through the full protocol: scripts/rehearsal.py asserts the
+        # eval-stage top-1 accuracy, not just that the chain runs
+        "optim.epochs": 6,
+        "optim.max_batches": 12,
         "optim.batch_size": 16,
+        "optim.lr": 1e-3,
         "test.wer_negatives": 200,
         "test.wer_topx": 3,
         "eval_every": 1,

@@ -45,6 +45,14 @@ class Wav2Vec2Config:
     #: Parameters stack on a leading [L] axis (convert_torch_weights
     #: mirrors this); numerics identical (tests/test_wav2vec2.py).
     scan_layers: bool = False
+    #: collect ONLY these hidden-state indices (HF convention: index k
+    #: in [0, L) is the input of layer k, index L the final post-LN
+    #: output). None collects all L+1. The Wav2VecTransformer feature
+    #: needs 5 of 24 (bm/conf/features_defaults/features_defaults.
+    #: yaml:26) — under scan_layers the selection accumulates in the
+    #: scan carry, shrinking the collected ys ~5x in HBM and making the
+    #: scan small enough for slow remote compilers (VERDICT r4 Next #3).
+    collect_layers: tp.Optional[tp.Tuple[int, ...]] = None
 
     @classmethod
     def tiny(cls) -> "Wav2Vec2Config":
@@ -181,6 +189,23 @@ class _ScanEncoderLayer(nn.Module):
         return EncoderLayer(self.cfg, name="layer")(x), x
 
 
+class _ScanCollectLayer(nn.Module):
+    """Scan body with an in-carry accumulator for a SELECTED subset of
+    hidden states: carry = (x, acc[K, ...]); per-step input sel_k [K] is
+    the one-hot row saying which accumulator slot (if any) the current
+    pre-layer x belongs to. ys stay empty — the scan's memory footprint
+    is K hidden states instead of L."""
+    cfg: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, carry: tp.Tuple[jax.Array, jax.Array],
+                 sel_k: jax.Array
+                 ) -> tp.Tuple[tp.Tuple[jax.Array, jax.Array], None]:
+        x, acc = carry
+        acc = acc + sel_k.reshape((-1,) + (1,) * x.ndim) * x[None]
+        return (EncoderLayer(self.cfg, name="layer")(x), acc), None
+
+
 class Wav2Vec2Model(nn.Module):
     """Returns (last_hidden_state, extract_features, hidden_states) with
     HF semantics: hidden_states[0] is the encoder input (projected
@@ -203,8 +228,27 @@ class Wav2Vec2Model(nn.Module):
         if not cfg.do_stable_layer_norm:
             x = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
                              name="encoder_layer_norm")(x)
+        collect = cfg.collect_layers
+        if collect is not None:
+            assert all(0 <= k <= cfg.num_hidden_layers for k in collect), \
+                f"collect_layers out of range: {collect}"
         hidden_states: tp.Tuple[jax.Array, ...] = ()
-        if cfg.scan_layers:
+        acc = None
+        if cfg.scan_layers and collect is not None:
+            # one-hot [L, K] routing of pre-layer states into the
+            # K-slot carry accumulator (index L handled after the LN)
+            sel = jnp.asarray(
+                [[1.0 if idx == k else 0.0 for idx in collect]
+                 for k in range(cfg.num_hidden_layers)], dtype=x.dtype)
+            scanned = nn.scan(
+                _ScanCollectLayer,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=0, out_axes=0,
+                length=cfg.num_hidden_layers)(cfg, name="layers")
+            acc0 = jnp.zeros((len(collect),) + x.shape, x.dtype)
+            (x, acc), _ = scanned((x, acc0), sel)
+        elif cfg.scan_layers:
             scanned = nn.scan(
                 _ScanEncoderLayer,
                 variable_axes={"params": 0},
@@ -221,6 +265,15 @@ class Wav2Vec2Model(nn.Module):
             x = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
                              name="encoder_layer_norm")(x)
         hidden_states += (x,)
+        if collect is not None:
+            # hidden_states holds EXACTLY the requested indices, in order
+            if acc is not None:
+                hidden_states = tuple(
+                    x if idx == cfg.num_hidden_layers else acc[j]
+                    for j, idx in enumerate(collect))
+            else:
+                hidden_states = tuple(hidden_states[idx]
+                                      for idx in collect)
         return x, extract_features, hidden_states
 
 
@@ -304,10 +357,13 @@ def convert_torch_weights(torch_model, scan_layers: bool = False) -> dict:
     return p
 
 
-def config_from_hf(hf_config, scan_layers: bool = False
+def config_from_hf(hf_config, scan_layers: bool = False,
+                   collect_layers: tp.Optional[tp.Sequence[int]] = None
                    ) -> Wav2Vec2Config:
     return Wav2Vec2Config(
         scan_layers=scan_layers,
+        collect_layers=(None if collect_layers is None
+                        else tuple(collect_layers)),
         conv_dim=tuple(hf_config.conv_dim),
         conv_kernel=tuple(hf_config.conv_kernel),
         conv_stride=tuple(hf_config.conv_stride),

@@ -252,7 +252,9 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     if "sig" not in tokens:
         print(__doc__)
         return
-    if tokens.get("compilation_cache", "true").lower() != "false":
+    _cc = tokens.get("parallel.compilation_cache",
+                     tokens.get("compilation_cache", "true"))
+    if str(_cc).lower() != "false":
         from .parallel import enable_compilation_cache
         enable_compilation_cache()
     from .play import get_solver_from_sig

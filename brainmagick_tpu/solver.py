@@ -937,9 +937,16 @@ class Solver:
                 100 * self.rejection_rate, time.time() - t0)
             self.history.append(stages)
             self.metric_sinks.log(epoch, stages)
-            self.commit()
+            self.commit(block=will_stop)
             if will_stop:
                 break
+        # join any in-flight async write (re-raises a failed write) so
+        # eval-after-train always reads the final epoch's checkpoint and
+        # done.json never marks an XP finished without it
+        self.wait_checkpoint()
+        if self._checkpoint_executor is not None:
+            self._checkpoint_executor.shutdown(wait=True)
+            self._checkpoint_executor = None
         self.metric_sinks.close()
         # completion marker: distinguishes a finished XP (incl. early
         # stop) from one interrupted mid-run, whose history.json exists
@@ -1156,7 +1163,7 @@ class Solver:
                 json.dump(payload["history"], f, indent=1, default=float)
 
         self.wait_checkpoint()  # order + surface any previous failure
-        if self.args.checkpoint_async and not block:
+        if getattr(self.args, "checkpoint_async", True) and not block:
             if self._checkpoint_executor is None:
                 self._checkpoint_executor = futures.ThreadPoolExecutor(
                     max_workers=1, thread_name_prefix="bm_ckpt")

@@ -77,13 +77,12 @@ def main() -> None:
     # identical FLOPs) on 4s 16kHz chunks; report audio-samples/s and
     # the realtime factor.
     #
-    # Measured on this container (round 4, BM_W2V_CARRY_ONLY=1 over the
-    # dev relay): torch-CPU ~0.2-2.4x realtime (the reference's
-    # documented pain) vs the chip at 27.8x realtime (B=1) and 172.6x
-    # (B=8) — the w2v2 stage of the >=10x preprocessing target, done.
-    # Production hosts compile the full hidden-state-collecting scan
-    # locally in seconds (tests/test_wav2vec2.py); only this
-    # container's remote compile helper needs the carry-only variant.
+    # The default measurement is the SHIPPED backend='jax' path: the
+    # encoder scan collects only the feature's 5 target layers in its
+    # carry (models/wav2vec2.py collect_layers), which compiles through
+    # this container's remote compiler (the full 24-ys-collecting scan
+    # hangs it >20 min; r4 had to measure a final-layer-only proxy).
+    # BM_W2V_CARRY_ONLY=1 keeps that proxy available for comparison.
     if "--no-w2v" not in sys.argv:
         bench_wav2vec()
 
@@ -117,21 +116,23 @@ def bench_wav2vec(seconds: float = 4.0) -> None:
         "detail": f"{seconds:.0f}s chunk in {dt_torch:.2f}s"}))
 
     # JAX port on the accelerator — the SHIPPED backend='jax' precompute
-    # path: weights device_put once, jitted forward, one dispatch/chunk.
-    # BM_W2V_CARRY_ONLY=1 swaps in a final-layer-only scan (no per-layer
-    # hidden-state collection): the dev relay's remote compiler hangs
-    # >20 min on the ys-collecting scan but compiles carry-only in ~3
-    # min (real hosts compile either in seconds — tests/test_wav2vec2).
+    # path: weights device_put once, jitted forward, one dispatch/chunk,
+    # hidden-state collection narrowed to the feature's 5 target layers
+    # (collect_layers carry accumulator — models/wav2vec2.py). Sync on a
+    # COLLECTED hidden state so the timed work includes the collection.
+    # BM_W2V_CARRY_ONLY=1 keeps the r4 final-layer-only proxy for A/B.
     if os.environ.get("BM_W2V_CARRY_ONLY"):
         forward = _carry_only_forward(feat)
+        path = "carry-only-proxy"
 
         def run(x):
             return forward(x)[0, 0, 0]
     else:
         forward = feat._load_jax_forward()
+        path = f"shipped-collect-{len(feat.jax_collect_layers)}-layers"
 
         def run(x):
-            return forward(x)[0][0, 0, 0]
+            return forward(x)[2][0][0, 0, 0]
 
     for batch in (1, 8):
         x = jnp.asarray(np.tile(wav, (batch, 1)))

@@ -125,6 +125,102 @@ def test_checkpoint_resume(tmp_cache, tmp_path):
     assert solver3.epoch == 1  # fresh XP, warm-started weights
 
 
+def test_train_checkpoint_smoke(tmp_cache, tmp_path):
+    """FAST gate (not slow-marked): a broken Solver.train()/commit()
+    must never again pass `make tests` (round-4 regression: commit()
+    read a config field that did not exist, every training run crashed
+    at the first checkpoint while the default gate stayed green).
+    One tiny epoch, 2 batches, through the full train -> async commit ->
+    end-of-train join -> done.json -> restore chain
+    (bm/test_play.py:20-68 role)."""
+    args = tiny_args(tmp_cache, tmp_path, loss="mse", task="decode",
+                     features=("WordLength",), epochs=1)
+    args.optim.max_batches = 2
+    solver = bm_train.get_solver(args)
+    best = solver.train()
+    assert np.isfinite(best)
+    assert solver.checkpoint_path.exists()
+    assert (solver.folder / "done.json").exists()
+    assert (solver.folder / "history.json").exists()
+    # the end-of-train join ran: no write left in flight
+    assert solver._checkpoint_future is None
+    assert solver._checkpoint_executor is None
+
+    # restore: identical config -> same sig -> resumes past the end
+    args2 = tiny_args(tmp_cache, tmp_path, loss="mse", task="decode",
+                      features=("WordLength",), epochs=1)
+    args2.optim.max_batches = 2
+    assert args2.sig == args.sig
+    solver2 = bm_train.get_solver(args2)
+    assert solver2.epoch == 2
+    assert len(solver2.history) == 1
+
+
+def test_checkpoint_async_is_cosmetic():
+    """checkpoint_async must not perturb XP signatures (dora.exclude
+    rule, /root/reference/bm/conf/config.yaml:150-158)."""
+    from brainmagick_tpu.config import MainConfig
+    a, b = MainConfig(), MainConfig()
+    b.checkpoint_async = False
+    assert a.sig == b.sig
+    assert "checkpoint_async" not in b.delta()
+
+
+def test_commit_async_ordered_and_surfaces_errors(tmp_cache, tmp_path,
+                                                  monkeypatch):
+    """Async commit contract: writes are ordered (last commit wins on
+    disk), wait_checkpoint() joins, and a failed background write
+    re-raises at the next commit/join instead of disappearing."""
+    args = tiny_args(tmp_cache, tmp_path, loss="mse", task="decode",
+                     features=("WordLength",), epochs=1)
+    assert args.checkpoint_async
+    solver = bm_train.get_solver(args)
+
+    # two async commits back to back: the single-worker executor keeps
+    # them ordered, so the on-disk epoch is the second one's
+    solver.epoch = 5
+    solver.commit()
+    solver.epoch = 7
+    solver.commit()
+    solver.wait_checkpoint()
+    import pickle
+    with open(solver.checkpoint_path, "rb") as f:
+        payload = pickle.load(f)
+    assert payload["epoch"] == 8  # epoch + 1 at capture time
+
+    # restore mid-flight: a commit in progress does not corrupt what a
+    # fresh solver reads — write_and_rename keeps the old file intact
+    # until the atomic rename, and restore() after the join sees the
+    # new epoch
+    solver.epoch = 9
+    solver.commit()
+    solver.wait_checkpoint()
+    args_r = tiny_args(tmp_cache, tmp_path, loss="mse", task="decode",
+                       features=("WordLength",), epochs=1)
+    solver_r = bm_train.get_solver(args_r)
+    assert solver_r.epoch == 10
+
+    # failure surfacing: make the background write blow up; the NEXT
+    # commit (which joins first) re-raises it
+    import brainmagick_tpu.solver as solver_mod
+
+    def boom(*a, **kw):
+        raise OSError("disk full (injected)")
+
+    monkeypatch.setattr(solver_mod, "write_and_rename", boom)
+    solver.commit()            # async submit; failure happens in worker
+    with pytest.raises(OSError, match="disk full"):
+        solver.commit()
+    monkeypatch.undo()
+
+    # block=True bypasses the executor entirely (convert.py path)
+    solver.epoch = 11
+    solver.commit(block=True)
+    assert solver._checkpoint_future is None
+    with open(solver.checkpoint_path, "rb") as f:
+        assert pickle.load(f)["epoch"] == 12
+
+
 @pytest.mark.slow
 def test_negative_pool(tmp_cache, tmp_path):
     """optim.negatives tops candidates up from the rolling pool

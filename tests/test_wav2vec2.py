@@ -99,10 +99,57 @@ def test_wav2vec_feature_jax_backend(tmp_cache, tmp_path):
 
     feat_t._model_cache.get = lambda fn, *a, **k: torch_model
     feat_j._model_cache.get = lambda fn, *a, **k: torch_model
-    feat_j._jax_cache = MemoryCache("w2vtest", "jax")
+    # isolate the jax model/forward MemoryCache keys from other tests
+    # (they key on model_name + layer selection)
+    feat_j.model_name = "w2vtest-tiny"
 
     out_t = feat_t._compute_hidden_states("hidden_states", str(wav_path),
                                           0.0, 0.5, layers=[1, 2])
     out_j = feat_j._compute_hidden_states("hidden_states", str(wav_path),
                                           0.0, 0.5, layers=[1, 2])
     np.testing.assert_allclose(out_j, out_t, rtol=1e-3, atol=2e-4)
+    assert MemoryCache  # keep the import referenced
+
+
+def test_collect_layers_scan_matches_full():
+    """collect_layers under lax.scan (carry accumulator) returns exactly
+    the selected hidden states of the full collection — including the
+    post-LN final index — with the SAME param tree."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from brainmagick_tpu.models.wav2vec2 import (Wav2Vec2Config,
+                                                 Wav2Vec2Model)
+
+    cfg = dataclasses.replace(Wav2Vec2Config.tiny(), scan_layers=True)
+    model = Wav2Vec2Model(cfg)
+    wav = jnp.asarray(
+        np.random.RandomState(0).randn(2, 800).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), wav)
+    last, extract, hidden = model.apply(variables, wav)
+    assert len(hidden) == cfg.num_hidden_layers + 1
+
+    for collect in [(0, 1), (1, 2), (0, 2), (1,), ()]:
+        cfg_c = dataclasses.replace(cfg, collect_layers=collect)
+        last_c, extract_c, hidden_c = Wav2Vec2Model(cfg_c).apply(
+            variables, wav)
+        np.testing.assert_allclose(np.asarray(last_c), np.asarray(last),
+                                   rtol=1e-5, atol=1e-6)
+        assert len(hidden_c) == len(collect)
+        for j, idx in enumerate(collect):
+            np.testing.assert_allclose(
+                np.asarray(hidden_c[j]), np.asarray(hidden[idx]),
+                rtol=1e-5, atol=1e-6, err_msg=f"collect {collect}[{j}]")
+    # unrolled path honors the selection too
+    cfg_u = dataclasses.replace(cfg, scan_layers=False,
+                                collect_layers=(0, 2))
+    from brainmagick_tpu.models.wav2vec2 import convert_torch_weights
+    assert convert_torch_weights  # layout documented elsewhere
+    # (params differ in layout between scan/unrolled; just check shape
+    # contract on a fresh init)
+    model_u = Wav2Vec2Model(cfg_u)
+    vu = model_u.init(jax.random.PRNGKey(0), wav)
+    _, _, hidden_u = model_u.apply(vu, wav)
+    assert len(hidden_u) == 2
