@@ -12,7 +12,17 @@ import pytest
 from brainmagick_tpu.env import env
 from brainmagick_tpu.phonemes import ph_dict
 
-SENTENCES = {1: "de kat slaapt nu", 2: "een hond rent snel weg"}
+SENTENCES = {1: "de kat slaapt nu", 2: "een hond rent snel weg",
+             3: "het kind leest een boek vandaag",
+             4: "zij zingt elke ochtend vroeg in de tuin",
+             5: "de oude man loopt langzaam naar huis",
+             6: "wij eten vanavond verse vis met brood"}
+# WOORDEN (word-list) stimuli: scrambled unrelated words, also wavs in
+# the audio modality (reference relabeling preproc.py:89-136; selection
+# audio_mous_wl filters condition == "word_list")
+WORD_LISTS = {7: "appel stoel fiets water lamp",
+              8: "maan glas deur zand vogel"}
+ALL_STIMULI = {**SENTENCES, **WORD_LISTS}
 SFREQ = 1200.0
 
 LOG_HEADER = ("Subject\tTrial\tEvent Type\tCode\tTime\tTTime\tUncertainty"
@@ -70,31 +80,54 @@ def _t(seconds: float) -> str:
     return str(int(round(seconds * 1e4)))
 
 
-def _make_log(path: Path) -> list:
-    """Synthetic Presentation log for an audio run: per sentence a
-    fixation, a ZINNEN context marker, Start File / Audio onset /
-    End of file. Returns (time, code) pairs of fix/context rows."""
+def _make_log(path: Path, visual: bool = False) -> list:
+    """Synthetic Presentation log: per sentence a fixation, a
+    ZINNEN/WOORDEN context marker, then (audio) Start File / Audio
+    onset / End of file or (visual) one Picture row per word. The last
+    two stimuli are WOORDEN word lists (condition relabeling,
+    reference preproc.py:89-136), and QUESTION / Response / pause /
+    blank / PULSE MODE rows exercise the rest of the relabel table.
+    Returns (time, code) pairs of fix/context trigger rows."""
     rows1, rows2 = [], []
     sync = []
 
-    def add(event_type, code, t):
-        rows1.append(f"1\t1\t{event_type}\t{code}\t{_t(t)}\t0\t0\t0\t0\t0\t0")
+    def add(event_type, code, t, duration=0.0):
+        rows1.append(f"1\t1\t{event_type}\t{code}\t{_t(t)}\t0\t0"
+                     f"\t{_t(duration)}\t0\t0\t0")
         if event_type in ("Picture", "Sound", "Nothing"):
             rows2.append("0\tx")
 
     t = 1.0
-    for uid, sentence in SENTENCES.items():
+    for uid, sentence in ALL_STIMULI.items():
+        context = "WOORDEN" if uid in WORD_LISTS else "ZINNEN"
         add("Picture", f"FIX {uid}", t)
         sync.append((t, 20))
         t += 0.5
-        add("Picture", f"ZINNEN {uid}", t)
+        add("Picture", f"{context} {uid}", t)
         sync.append((t, 10))
         t += 0.5
-        add("Sound", f"Start File {uid:03d}.wav", t)
-        add("Nothing", "Audio onset", t + 0.01)
-        t += 4.0
-        add("Nothing", "End of file", t)
+        if visual:
+            for k, word in enumerate(sentence.split()):
+                add("Picture", f"{uid * 10 + k} {word}", t, duration=0.3)
+                t += 0.4
+        else:
+            add("Sound", f"Start File {uid:03d}.wav", t)
+            add("Nothing", "Audio onset", t + 0.01)
+            t += 4.0
+            add("Nothing", "End of file", t)
         t += 0.5
+        if uid == 3:
+            # non-stimulus rows between trials: every relabel branch
+            add("Picture", "QUESTION 1", t)
+            t += 0.3
+            add("Response", "Response 1", t)
+            t += 0.2
+            add("Picture", "", t)            # blank (empty code)
+            t += 0.2
+            add("Picture", "pause", t)       # pause code
+            t += 0.2
+            add("Picture", "17 PULSE MODE", t)  # word row -> pulse
+            t += 0.3
     block1 = "header\n" + LOG_HEADER + "\n" + "\n".join(rows1)
     block2 = LOG2_HEADER + "\n" + "\n".join(rows2)
     text = ("junk preamble\nScenario - mock\n" + block1 + "\n\n\n" + block2
@@ -104,40 +137,45 @@ def _make_log(path: Path) -> list:
     return sync
 
 
-@pytest.fixture()
-def mous_root(tmp_path):
-    root = tmp_path / "mous"
+def write_mous_fixture(root: Path) -> None:
+    """MOUS on-disk layout with an audio subject (sub-A2002) AND a
+    visual subject (sub-V1001), sentences + WOORDEN word lists."""
     download = root / "download"
-    subject = "sub-A2002"
 
-    # stimuli + textgrids + wavs
-    stim_lines = [f"{uid} {s}" for uid, s in SENTENCES.items()]
+    # stimuli + textgrids + wavs (word lists are wavs too)
+    stim_lines = [f"{uid} {s}" for uid, s in ALL_STIMULI.items()]
     (download / "stimuli").mkdir(parents=True)
     (download / "stimuli" / "stimuli.txt").write_text(
         "\n".join(stim_lines) + "\n")
-    for uid, sentence in SENTENCES.items():
+    for uid, sentence in ALL_STIMULI.items():
         _write_wav(download / "stimuli" / "audio_files" / f"{uid:03d}.wav")
         _write_textgrid(download / "derivatives" / "textgrids"
                         / ("EQ_Ramp_Int2_Int1LPF%.3i.TextGrid" % uid),
                         sentence)
 
-    # presentation log
-    sync = _make_log(download / "sourcedata" / "meg_task"
-                     / f"{subject}-MEG-MOUS-Aud.log")
+    for subject, visual in (("sub-A2002", False), ("sub-V1001", True)):
+        task = "Vis" if visual else "Aud"
+        sync = _make_log(download / "sourcedata" / "meg_task"
+                         / f"{subject}-MEG-MOUS-{task}.log",
+                         visual=visual)
+        # raw npz stand-in with triggers aligned to the log (+0.5s)
+        shift = 0.5
+        events = np.array(
+            [[int((t + shift) * SFREQ), 0, code] for t, code in sync]
+            + [[int(60 * SFREQ), 0, 5]], dtype=np.int64)
+        rng = np.random.RandomState(0)
+        data = rng.randn(12, int(61 * SFREQ)).astype(np.float32)
+        positions = rng.rand(12, 2).astype(np.float32)
+        meg_dir = download / subject / "meg"
+        meg_dir.mkdir(parents=True)
+        np.savez(meg_dir / "testmeg-raw.npz", data=data,
+                 sample_rate=SFREQ, positions=positions, events=events)
 
-    # raw npz stand-in with trigger events aligned to the log (+0.5s)
-    shift = 0.5
-    events = np.array(
-        [[int((t + shift) * SFREQ), 0, code] for t, code in sync]
-        + [[int(60 * SFREQ), 0, 5]], dtype=np.int64)
-    rng = np.random.RandomState(0)
-    data = rng.randn(12, int(61 * SFREQ)).astype(np.float32)
-    positions = rng.rand(12, 2).astype(np.float32)
-    meg_dir = download / subject / "meg"
-    meg_dir.mkdir(parents=True)
-    np.savez(meg_dir / "testmeg-raw.npz", data=data, sample_rate=SFREQ,
-             positions=positions, events=events)
 
+@pytest.fixture()
+def mous_root(tmp_path):
+    root = tmp_path / "mous"
+    write_mous_fixture(root)
     cache = tmp_path / "fake_cache"
     cache.mkdir()
     with env.temporary(studies={"schoffelen2019": root}, cache=cache):
@@ -156,11 +194,20 @@ def test_events_pipeline(mous_root):
     kinds = set(events.kind)
     assert {"word", "phoneme", "sound", "block"} <= kinds
     words = events[events.kind == "word"]
-    assert list(words.word) == (SENTENCES[1].split()
-                                + SENTENCES[2].split())
+    expected_words = [w for s in ALL_STIMULI.values() for w in s.split()]
+    assert list(words.word) == expected_words
     # word sequences match the stimuli and carry their uid
-    assert set(words.word_sequence) == set(SENTENCES.values())
-    assert set(words.sequence_uid.astype(int)) == {1, 2}
+    assert set(words.word_sequence) == set(ALL_STIMULI.values())
+    assert set(words.sequence_uid.astype(int)) == set(ALL_STIMULI)
+    # condition relabeling: sentence trials vs WOORDEN word lists
+    # (the audio_mous_wl selection filters on this)
+    assert set(words.condition) == {"sentence", "word_list"}
+    wl_words = words[words.condition == "word_list"]
+    assert list(wl_words.word) == [w for s in WORD_LISTS.values()
+                                   for w in s.split()]
+    # QUESTION / Response / pause / blank / PULSE MODE rows never
+    # become events
+    assert "PULSE" not in " ".join(words.word)
     # MEG-clock alignment: triggers are shifted +0.5s vs the log clock,
     # so the audio onset at log t=2.01 must land at meg t=2.51
     first_word = words.iloc[0]
@@ -171,11 +218,11 @@ def test_events_pipeline(mous_root):
     assert phonemes.phoneme_id.between(0, len(ph_dict) - 1).all()
     # blocks: one per sound, uid = sequence_uid
     blocks = events[events.kind == "block"]
-    assert len(blocks) == 2
-    assert set(blocks.uid.astype(str)) <= {"1", "2", "1.0", "2.0"}
+    assert len(blocks) == len(ALL_STIMULI)
+    assert {int(float(u)) for u in blocks.uid} == set(ALL_STIMULI)
     # sounds point at existing wavs with valid durations
     sounds = events[events.kind == "sound"]
-    assert len(sounds) == 2
+    assert len(sounds) == len(ALL_STIMULI)
     for s in sounds.itertuples():
         assert Path(s.filepath).exists()
         assert 0 < s.duration <= 5.0
@@ -211,37 +258,71 @@ def test_events_pipeline_through_ds(mous_root):
     assert str(rec.paths.raw).endswith(".ds")
     got = rec.events()
     words = got[got.kind == "word"]
-    assert list(words.word) == (SENTENCES[1].split()
-                                + SENTENCES[2].split())
+    assert list(words.word) == [w for s in ALL_STIMULI.values()
+                                for w in s.split()]
     assert words.iloc[0].start == pytest.approx(2.51, abs=0.02)
     raw_back = rec.raw()
     assert raw_back.n_channels == len(data)
     assert raw_back.sample_rate == SFREQ
 
 
-def test_events_golden(mous_root):
-    """Golden-file regression for the parsed events schema/content
-    (bm/studies/test_api.py cached_assert_df_equal approach — the file
-    self-bootstraps on first run and is committed)."""
+GOLDEN_CSV = Path(__file__).parent / "golden" / "schoffelen_events.csv"
+GOLDEN_COLS = ["recording_uid", "start", "duration", "kind", "word",
+               "word_index", "sequence_uid", "condition", "phoneme_id",
+               "modality", "word_sequence"]
+
+
+def _parse_golden_events(tmp_path: Path) -> pd.DataFrame:
+    """Both modalities' full parses, concatenated (audio: textgrid
+    word/phoneme alignment + word lists; visual: per-word Picture rows
+    + relabel edge cases)."""
     from brainmagick_tpu import studies
 
-    rec = next(studies.register["schoffelen2019"].iter(modality="audio"))
-    events = rec.events()
-    keep = ["start", "duration", "kind", "word", "word_index",
-            "sequence_uid"]
-    got = events[keep].round(4)
-    golden = Path(__file__).parent / "golden" / "schoffelen_events.csv"
-    if not golden.exists():
-        golden.parent.mkdir(exist_ok=True)
-        got.to_csv(golden, index=False)
-        pytest.skip("bootstrapped golden file — rerun to compare")
-    expected = pd.read_csv(golden)
+    root = tmp_path / "mous_golden"
+    write_mous_fixture(root)
+    cache = tmp_path / "mous_golden_cache"
+    cache.mkdir(parents=True, exist_ok=True)
+    dfs = []
+    with env.temporary(studies={"schoffelen2019": root}, cache=cache):
+        recs = list(studies.register["schoffelen2019"].iter())
+        assert len(recs) == 2  # sub-V1001 (visual) + sub-A2002 (audio)
+        for rec in recs:
+            df = rec.events().copy()
+            df["recording_uid"] = rec.recording_uid
+            dfs.append(df)
+    out = pd.concat(dfs, ignore_index=True)
+    for col in GOLDEN_COLS:
+        if col not in out.columns:
+            out[col] = np.nan
+    return out[GOLDEN_COLS].round(4)
+
+
+def test_events_golden(tmp_path):
+    """Golden-file regression pinning the full two-modality parse:
+    sentences, WOORDEN word lists, phoneme alignment, condition
+    relabeling (regen: python tests/test_schoffelen2019.py --regen)."""
+    got = _parse_golden_events(tmp_path)
+    expected = pd.read_csv(GOLDEN_CSV)
+    assert list(got.columns) == list(expected.columns)
     assert len(got) == len(expected), "event count changed vs golden file"
-    for col in ("kind", "word"):
-        assert got[col].fillna("").astype(str).tolist() == \
-            expected[col].fillna("").astype(str).tolist(), f"{col} changed"
-    np.testing.assert_allclose(got.start.values, expected.start.values,
-                               atol=1e-3)
+    for col in GOLDEN_COLS:
+        g, w = got[col], expected[col]
+        if pd.api.types.is_numeric_dtype(w):
+            np.testing.assert_allclose(
+                pd.to_numeric(g).to_numpy(np.float64),
+                w.to_numpy(np.float64), atol=1e-3, equal_nan=True,
+                err_msg=col)
+        else:
+            assert g.fillna("").astype(str).tolist() == \
+                w.fillna("").astype(str).tolist(), f"{col} changed"
+    # structural guards against a silently-degenerate regen
+    assert (got.condition == "word_list").sum() >= 20
+    vis = got[got.recording_uid == "sub-V1001"]
+    assert (vis[vis.kind == "word"].modality == "visual").all()
+    assert len(vis[vis.kind == "word"]) == sum(
+        len(s.split()) for s in ALL_STIMULI.values())
+    aud = got[got.recording_uid == "sub-A2002"]
+    assert (aud.kind == "phoneme").sum() > (aud.kind == "word").sum()
 
 
 def test_fif_converted_raw(mous_root, tmp_path):
@@ -283,3 +364,50 @@ def test_events_filter(mous_root):
         modality="audio", events_filter='condition == "sentence"'))
     filtered = rec.events(clean=True)
     assert (filtered.condition == "sentence").all()
+
+
+def test_events_filter_word_list(mous_root):
+    """The audio_mous_wl selection semantics: events_filter keeps only
+    word-list trials (selections_definitions.yaml:1-20)."""
+    from brainmagick_tpu import studies
+
+    rec = next(studies.register["schoffelen2019"].iter(
+        modality="audio", events_filter='condition == "word_list"'))
+    filtered = rec.events(clean=True)
+    words = filtered[filtered.kind == "word"]
+    assert len(words) and (words.condition == "word_list").all()
+    assert set(words.sequence_uid.astype(int)) == set(WORD_LISTS)
+
+
+def test_visual_pipeline(mous_root):
+    """Visual-modality subject: words from per-word Picture rows with
+    durations, no sounds/phonemes, condition relabeling applied."""
+    from brainmagick_tpu import studies
+
+    recs = list(studies.register["schoffelen2019"].iter(
+        modality="visual"))
+    assert len(recs) == 1
+    rec = recs[0]
+    assert rec.modality == "visual"
+    events = rec.events()
+    words = events[events.kind == "word"]
+    assert list(words.word) == [w for s in ALL_STIMULI.values()
+                                for w in s.split()]
+    assert (words.modality == "visual").all()
+    assert (words.duration.values > 0).all()
+    assert set(words.condition) == {"sentence", "word_list"}
+    assert "sound" not in set(events.kind)
+    # visual blocks split on word_index==0 sentence starts
+    blocks = events[events.kind == "block"]
+    assert len(blocks) == len(ALL_STIMULI)
+
+
+if __name__ == "__main__":
+    import sys
+    import tempfile
+    if "--regen" in sys.argv:
+        with tempfile.TemporaryDirectory() as td:
+            out = _parse_golden_events(Path(td))
+        GOLDEN_CSV.parent.mkdir(exist_ok=True)
+        out.to_csv(GOLDEN_CSV, index=False)
+        print(f"wrote {GOLDEN_CSV} ({len(out)} rows)")
