@@ -255,6 +255,15 @@ class ParallelConfig:
     #: once per (config, jaxlib) instead of once per grid job / eval
     #: reload. Directory: BM_TPU_XLA_CACHE, else <env.cache>/xla
     compilation_cache: bool = True
+    #: host-side batch ASSEMBLY dtype (native/gather.cpp): 'bfloat16'
+    #: writes the wire format directly during the gather instead of
+    #: assembling fp32 and casting at transfer — halves the loader's
+    #: host memory traffic. None keeps fp32 assembly (the cast to
+    #: transfer_dtype, if any, happens in SegmentBatch.to_device).
+    #: Applies to the train/valid/test epoch loaders only — wer/eval/
+    #: play loaders stay fp32 (they read word-hash floats host-side).
+    #: Scaler fitting always reads fp32 (it bypasses the Loader).
+    assemble_dtype: tp.Optional[str] = None
 
 
 @dataclass
@@ -404,6 +413,10 @@ def apply_preset(cfg: MainConfig, name: str) -> MainConfig:
                               gelu_exact=False)
         cfg.clip.compute_dtype = "bfloat16"
         cfg.parallel.transfer_dtype = "bfloat16"
+        # assemble the bf16 wire format directly in the native gather
+        # (halves host batch-assembly memory traffic; scaler fit and
+        # wer/eval/play loaders stay fp32 — see ParallelConfig)
+        cfg.parallel.assemble_dtype = "bfloat16"
     elif name == "clip_conv_v5e8":
         # RECOMMENDED v5e-8 recipe: weak scaling. The chip saturates by
         # local batch ~128 (B=32 runs at 81% of the B=256 rate, a

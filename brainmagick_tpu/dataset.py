@@ -114,7 +114,9 @@ class SegmentBatch:
             val = getattr(self, name)
             if (transfer_dtype and name in ("meg", "features")
                     and np.issubdtype(np.asarray(val).dtype, np.floating)):
-                val = np.asarray(val).astype(transfer_dtype)
+                # no-op (no copy) when the loader already assembled the
+                # wire format (parallel.assemble_dtype)
+                val = np.asarray(val).astype(transfer_dtype, copy=False)
             out[name] = jnp.asarray(val)
         return out
 
@@ -297,16 +299,22 @@ class SegmentDataset:
         return (self[k] for k in range(len(self)))
 
     def get_batch(self, indices: np.ndarray,
-                  with_events: bool = False) -> SegmentBatch:
+                  with_events: bool = False,
+                  dtype: tp.Optional[str] = None) -> SegmentBatch:
         """Assemble a whole batch with the native gatherer (one
         multithreaded strided-copy pass for meg + one for the feature
-        track, instead of B python items + a collate re-copy)."""
+        track, instead of B python items + a collate re-copy).
+        dtype='bfloat16' assembles meg/features directly in the wire
+        format (parallel.assemble_dtype)."""
         from .native import batch_gather_epochs, batch_gather_track
 
+        dtype = dtype or "float32"
         indices = np.asarray(indices, dtype=np.int64)
         n = len(indices)
         if self._meg_override is not None:
             meg = np.asarray(self._meg_override[indices], dtype=np.float32)
+            if dtype != "float32":
+                meg = meg.astype(dtype)
         else:
             b0, b1 = (0, 0)
             baseline_len = 0
@@ -318,7 +326,7 @@ class SegmentDataset:
             meg = batch_gather_epochs(
                 self.raw.data, starts, self._n_times,
                 out_channels=self.meg_dimension or self.raw.n_channels,
-                baseline_len=baseline_len)
+                baseline_len=baseline_len, dtype=dtype)
 
         track, track_sr = self._get_track()
         if float(track_sr) == float(self.sample_rate):
@@ -334,7 +342,8 @@ class SegmentDataset:
         # [B, F+1, n] leaves a strided features view, and numpy's
         # strided-source fancy scatter in ConcatDataset.get_batch (and
         # jnp.asarray at transfer) is ~100x slower than contiguous
-        features = batch_gather_track(track[:-1], t_starts, n_track)
+        features = batch_gather_track(track[:-1], t_starts, n_track,
+                                      dtype=dtype)
         mask = batch_gather_track(track[-1:], t_starts, n_track) > 0.5
 
         event_lists = []
@@ -552,7 +561,8 @@ class ConcatDataset:
         return self.datasets[d][index - int(self.cumulative_sizes[d])]
 
     def get_batch(self, indices: np.ndarray,
-                  with_events: bool = False) -> SegmentBatch:
+                  with_events: bool = False,
+                  dtype: tp.Optional[str] = None) -> SegmentBatch:
         """Batched fetch: group indices per sub-dataset, gather each
         group natively, scatter rows straight into preallocated output
         arrays (one copy — concat-then-reorder would pay two)."""
@@ -564,7 +574,7 @@ class ConcatDataset:
             sel = np.flatnonzero(which == d)
             local = indices[sel] - int(self.cumulative_sizes[d])
             parts.append((sel, self.datasets[int(d)].get_batch(
-                local, with_events=with_events)))
+                local, with_events=with_events, dtype=dtype)))
         if len(parts) == 1:
             return parts[0][1]
         kw: tp.Dict[str, tp.Any] = {}

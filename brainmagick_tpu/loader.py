@@ -9,6 +9,7 @@ jitted steps never recompile).
 
 from __future__ import annotations
 
+import dataclasses
 import queue
 import threading
 import typing as tp
@@ -23,7 +24,8 @@ class Loader:
     def __init__(self, dataset: tp.Any, batch_size: int,
                  shuffle: bool = False, seed: int = 0,
                  drop_last: bool = False, num_workers: int = 4,
-                 prefetch: int = 2, with_events: bool = False) -> None:
+                 prefetch: int = 2, with_events: bool = False,
+                 assemble_dtype: tp.Optional[str] = None) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -32,6 +34,10 @@ class Loader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.with_events = with_events
+        #: 'bfloat16' assembles meg/features in the wire format inside
+        #: the native gather (parallel.assemble_dtype) — halves host
+        #: memory traffic vs assemble-fp32-then-cast-at-transfer.
+        self.assemble_dtype = assemble_dtype
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -72,10 +78,16 @@ class Loader:
             if hasattr(self.dataset, "get_batch"):
                 # native multithreaded gather (one pass for the whole batch)
                 batch = self.dataset.get_batch(chunk,
-                                               with_events=self.with_events)
+                                               with_events=self.with_events,
+                                               dtype=self.assemble_dtype)
             else:
                 batch = SegmentBatch.collate(
                     [self.dataset[int(i)] for i in chunk])
+                if self.assemble_dtype and self.assemble_dtype != "float32":
+                    batch = dataclasses.replace(
+                        batch,
+                        meg=batch.meg.astype(self.assemble_dtype),
+                        features=batch.features.astype(self.assemble_dtype))
             return batch, pad_weight
 
         def producer():

@@ -42,19 +42,28 @@ def _get_lib() -> tp.Optional[ctypes.CDLL]:
     if _lib is None and not _build_failed:
         lib = _build()
         if lib is not None:
-            lib.gather_epochs.restype = ctypes.c_int
-            lib.gather_epochs.argtypes = [
-                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-                ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
-                ctypes.c_int]
-            lib.gather_track.restype = ctypes.c_int
-            lib.gather_track.argtypes = [
-                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-                ctypes.c_void_p, ctypes.c_int]
+            for name in ("gather_epochs", "gather_epochs_bf16"):
+                fn = getattr(lib, name)
+                fn.restype = ctypes.c_int
+                fn.argtypes = [
+                    ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                    ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                    ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+                    ctypes.c_int]
+            for name in ("gather_track", "gather_track_bf16"):
+                fn = getattr(lib, name)
+                fn.restype = ctypes.c_int
+                fn.argtypes = [
+                    ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                    ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                    ctypes.c_void_p, ctypes.c_int]
         _lib = lib
     return _lib
+
+
+def _bf16_dtype():
+    import ml_dtypes
+    return np.dtype(ml_dtypes.bfloat16)
 
 
 def is_available() -> bool:
@@ -75,47 +84,57 @@ def _numpy_gather_epochs(raw, starts, n_times, out_channels, baseline_len):
 def batch_gather_epochs(raw: np.ndarray, starts: np.ndarray, n_times: int,
                         out_channels: tp.Optional[int] = None,
                         baseline_len: int = 0,
-                        n_threads: int = 0) -> np.ndarray:
+                        n_threads: int = 0,
+                        dtype: str = "float32") -> np.ndarray:
     """[C, T_total] raw + [B] start samples -> [B, out_channels, n_times]
-    float32 batch with per-epoch baseline correction."""
+    batch with per-epoch baseline correction. dtype='bfloat16' assembles
+    the wire format directly (half the host memory traffic vs assemble-
+    fp32-then-cast when parallel.transfer_dtype is bf16)."""
     starts = np.ascontiguousarray(starts, dtype=np.int64)
     out_channels = out_channels or raw.shape[0]
+    bf16 = dtype == "bfloat16"
     lib = _get_lib()
     raw_ok = (isinstance(raw, np.ndarray) and raw.dtype == np.float32
               and raw.strides[1] == 4)
     if lib is None or not raw_ok:
-        return _numpy_gather_epochs(raw, starts, n_times, out_channels,
-                                    baseline_len)
+        out = _numpy_gather_epochs(raw, starts, n_times, out_channels,
+                                   baseline_len)
+        return out.astype(_bf16_dtype()) if bf16 else out
     if not raw.flags.c_contiguous:
         raw = np.ascontiguousarray(raw)  # keep alive through the call
-    out = np.empty((len(starts), out_channels, n_times), dtype=np.float32)
-    rc = lib.gather_epochs(
-        raw.ctypes.data, raw.shape[0], raw.shape[1], starts.ctypes.data,
-        len(starts), n_times, out_channels, baseline_len,
-        out.ctypes.data, n_threads)
+    out = np.empty((len(starts), out_channels, n_times),
+                   dtype=_bf16_dtype() if bf16 else np.float32)
+    fn = lib.gather_epochs_bf16 if bf16 else lib.gather_epochs
+    rc = fn(raw.ctypes.data, raw.shape[0], raw.shape[1],
+            starts.ctypes.data, len(starts), n_times, out_channels,
+            baseline_len, out.ctypes.data, n_threads)
     if rc != 0:
         raise IndexError("epoch window outside the recording")
     return out
 
 
 def batch_gather_track(track: np.ndarray, starts: np.ndarray,
-                       n_times: int, n_threads: int = 0) -> np.ndarray:
-    """[D, T_total] track + [B] starts -> [B, D, n_times] float32."""
+                       n_times: int, n_threads: int = 0,
+                       dtype: str = "float32") -> np.ndarray:
+    """[D, T_total] track + [B] starts -> [B, D, n_times]."""
     starts = np.ascontiguousarray(starts, dtype=np.int64)
+    bf16 = dtype == "bfloat16"
     lib = _get_lib()
     track_ok = (isinstance(track, np.ndarray)
                 and track.dtype == np.float32 and track.strides[1] == 4)
     if lib is None or not track_ok:
-        return np.stack([
+        out = np.stack([
             np.array(track[:, s:s + n_times], dtype=np.float32)
             for s in starts])
+        return out.astype(_bf16_dtype()) if bf16 else out
     if not track.flags.c_contiguous:
         track = np.ascontiguousarray(track)
     out = np.empty((len(starts), track.shape[0], n_times),
-                   dtype=np.float32)
-    rc = lib.gather_track(track.ctypes.data, track.shape[0],
-                          track.shape[1], starts.ctypes.data, len(starts),
-                          n_times, out.ctypes.data, n_threads)
+                   dtype=_bf16_dtype() if bf16 else np.float32)
+    fn = lib.gather_track_bf16 if bf16 else lib.gather_track
+    rc = fn(track.ctypes.data, track.shape[0],
+            track.shape[1], starts.ctypes.data, len(starts),
+            n_times, out.ctypes.data, n_threads)
     if rc != 0:
         raise IndexError("track window outside the recording")
     return out

@@ -190,11 +190,15 @@ class Solver:
                          batch_size=args.optim.batch_size,
                          shuffle=name in shuffled, seed=args.seed,
                          drop_last=(name == "train"),
-                         num_workers=args.num_workers)
+                         num_workers=args.num_workers,
+                         assemble_dtype=args.parallel.assemble_dtype)
             for name in ("train", "valid", "test")}
 
     def make_loader(self, dataset, shuffle: bool = False,
                     with_events: bool = False) -> Loader:
+        # deliberately fp32 assembly (no parallel.assemble_dtype):
+        # wer/eval/play read batch.features host-side (word-hash floats)
+        # where a bf16 round would corrupt the hash values
         return Loader(dataset, batch_size=self.args.optim.batch_size,
                       shuffle=shuffle, seed=self.args.seed,
                       num_workers=self.args.num_workers,

@@ -83,6 +83,17 @@ def build_model(args: MainConfig, datasets: dset.Datasets):
         if not isinstance(hidden, dict):
             hidden = {name: hidden for name in in_channels}
         kw["dilation_period"] = kw.get("dilation_period")
+        if (kw.get("gelu") and kw.get("gelu_exact", True)
+                and jax.default_backend() == "tpu"):
+            # measured on v5e: erf gelu costs ~1.8x the tanh approx on
+            # the paper step (58.5 vs ~32 ms — doc/perf_playbook.md);
+            # keep erf only for converted reference checkpoints
+            logger.warning(
+                "simpleconv.gelu_exact=True (erf gelu) on a TPU backend "
+                "costs ~1.8x the step time of the tanh approximation "
+                "(~5e-4 activation delta). Set simpleconv.gelu_exact="
+                "false or use the clip_conv_tpu preset unless you are "
+                "loading a converted reference checkpoint.")
         model = SimpleConv(in_channels=in_channels, out_channels=model_chout,
                            hidden=hidden, n_subjects=n_subjects, **kw)
     elif args.model_name == "convrnn":

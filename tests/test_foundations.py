@@ -244,9 +244,47 @@ def test_clip_conv_tpu_preset():
     assert tpu.simpleconv["bn_conv_bias"] is False
     assert tpu.clip.compute_dtype == "bfloat16"
     assert tpu.parallel.transfer_dtype == "bfloat16"
+    assert tpu.parallel.assemble_dtype == "bfloat16"
 
     ref = MainConfig()
     apply_preset(ref, "clip_conv")
     assert ref.simpleconv["bn_conv_bias"] is True
     assert ref.clip.compute_dtype is None
     assert tpu.sig != ref.sig
+
+
+def test_erf_gelu_tpu_warning(monkeypatch, caplog):
+    """The plain paper preset (erf gelu) on a TPU backend emits the
+    measured-1.8x cost hint; the tpu preset (tanh gelu) stays silent."""
+    import logging
+    import types
+
+    import jax
+    import numpy as np
+
+    from brainmagick_tpu import train
+    from brainmagick_tpu.config import MainConfig, apply_preset
+
+    feats = types.SimpleNamespace(output_dimension=8, dimension=8)
+    rec = types.SimpleNamespace(subject_index=0)
+    ds = types.SimpleNamespace(
+        meg=np.zeros((4, 10), dtype=np.float32),
+        recording=rec, features=feats)
+    # SimpleNamespace doesn't route dunders; a list subclass gives
+    # build_model the train[0] + train.datasets accesses it needs
+    class Split(list):
+        datasets = [ds]
+    datasets = types.SimpleNamespace(train=Split([ds]))
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    for preset, expect_warn in (("clip_conv", True),
+                                ("clip_conv_tpu", False)):
+        cfg = MainConfig()
+        apply_preset(cfg, preset)
+        cfg.simpleconv.update(hidden=8, depth=2, merger_pos_dim=8,
+                              initial_linear=8)
+        with caplog.at_level(logging.WARNING, logger="brainmagick_tpu.train"):
+            caplog.clear()
+            train.build_model(cfg, datasets)
+        hits = [r for r in caplog.records if "gelu_exact" in r.message]
+        assert bool(hits) == expect_warn, preset

@@ -28,6 +28,53 @@ def test_gather_epochs_matches_numpy():
         assert (out[b, 12:] == 0).all()
 
 
+def test_gather_epochs_bf16_is_rne_of_fp32():
+    """bf16 assembly == assemble-fp32-then-round (bit exact, incl.
+    baseline correction, channel padding, and NaN)."""
+    rng = np.random.RandomState(1)
+    raw = (rng.randn(12, 5000) * np.logspace(-6, 3, 12)[:, None]
+           ).astype(np.float32)
+    raw[3, 77] = np.nan
+    starts = rng.randint(0, 5000 - 100, 7)
+    f32 = batch_gather_epochs(raw, starts, n_times=100, out_channels=16,
+                              baseline_len=20)
+    bf16 = batch_gather_epochs(raw, starts, n_times=100, out_channels=16,
+                               baseline_len=20, dtype="bfloat16")
+    assert str(bf16.dtype) == "bfloat16"
+    expect = f32.astype("bfloat16")
+    nan = np.isnan(f32)
+    assert np.array_equal(bf16.view(np.uint16)[~nan],
+                          expect.view(np.uint16)[~nan])
+    assert np.isnan(bf16.astype(np.float32))[nan].all()
+    assert (bf16[:, 12:].astype(np.float32) == 0).all()
+
+
+def test_gather_track_bf16_is_rne_of_fp32():
+    rng = np.random.RandomState(2)
+    track = rng.randn(5, 1000).astype(np.float32)
+    starts = np.array([0, 100, 900 - 50])
+    f32 = batch_gather_track(track, starts, n_times=50)
+    bf16 = batch_gather_track(track, starts, n_times=50, dtype="bfloat16")
+    assert np.array_equal(bf16.view(np.uint16),
+                          f32.astype("bfloat16").view(np.uint16))
+
+
+def test_gather_bf16_numpy_fallback_matches_native():
+    """The numpy fallback (non-contiguous / no lib) rounds identically."""
+    rng = np.random.RandomState(3)
+    raw = rng.randn(4, 500).astype(np.float32)
+    starts = np.array([0, 250], dtype=np.int64)
+    native = batch_gather_epochs(raw, starts, 64, out_channels=6,
+                                 baseline_len=8, dtype="bfloat16")
+    # float64 raw forces the numpy path (raw_ok fails on dtype)
+    fallback = batch_gather_epochs(raw.astype(np.float64), starts, 64,
+                                   out_channels=6, baseline_len=8,
+                                   dtype="bfloat16")
+    assert str(fallback.dtype) == "bfloat16"
+    np.testing.assert_array_equal(native.view(np.uint16),
+                                  fallback.view(np.uint16))
+
+
 def test_gather_bounds_checked():
     raw = np.zeros((4, 100), dtype=np.float32)
     with pytest.raises(IndexError):
@@ -68,6 +115,58 @@ def test_dataset_batched_fetch_matches_itemwise(tmp_cache):
         assert [e.kind for e in a] == [e.kind for e in b]
         assert a[0].kind == "dataslice"
         assert a[0].start == b[0].start
+
+
+def test_dataset_get_batch_bf16(tmp_cache):
+    """dataset.get_batch(dtype='bfloat16') == fp32 batch rounded, and the
+    mask/positions/indices stay exact."""
+    from brainmagick_tpu import dataset as dset
+
+    recs = dset._extract_recordings([{"study": "fake"}], n_recordings=1)
+    recs = [dset._preload(r, sample_rate=120) for r in recs]
+    fact = dset.SegmentDataset.Factory(
+        condition=1.0, tmin=-0.5, tmax=2.5, sample_rate=120,
+        features=["WordLength"], meg_dimension=280, event_mask=True)
+    ds = dset.ConcatDataset([fact.apply(r) for r in recs])
+    idx = np.array([0, 3, len(ds) - 1])
+    f32 = ds.get_batch(idx)
+    bf16 = ds.get_batch(idx, dtype="bfloat16")
+    assert str(bf16.meg.dtype) == "bfloat16"
+    assert str(bf16.features.dtype) == "bfloat16"
+    np.testing.assert_array_equal(bf16.meg.view(np.uint16),
+                                  f32.meg.astype("bfloat16").view(np.uint16))
+    np.testing.assert_array_equal(
+        bf16.features.view(np.uint16),
+        f32.features.astype("bfloat16").view(np.uint16))
+    np.testing.assert_array_equal(bf16.features_mask, f32.features_mask)
+    np.testing.assert_array_equal(bf16.positions, f32.positions)
+
+
+def test_loader_assemble_dtype(tmp_cache):
+    """Loader(assemble_dtype='bfloat16') yields wire-format batches whose
+    to_device(transfer_dtype='bfloat16') is a no-op cast."""
+    from brainmagick_tpu import dataset as dset
+    from brainmagick_tpu.loader import Loader
+
+    recs = dset._extract_recordings([{"study": "fake"}], n_recordings=1)
+    recs = [dset._preload(r, sample_rate=120) for r in recs]
+    fact = dset.SegmentDataset.Factory(
+        condition=1.0, tmin=-0.5, tmax=2.5, sample_rate=120,
+        features=["WordLength"], meg_dimension=280, event_mask=True)
+    ds = dset.ConcatDataset([fact.apply(r) for r in recs])
+    loader = Loader(ds, batch_size=4, num_workers=1,
+                    assemble_dtype="bfloat16")
+    batch, pad_w = next(iter(loader))
+    assert str(batch.meg.dtype) == "bfloat16"
+    assert str(batch.features.dtype) == "bfloat16"
+    arrays = batch.to_device("bfloat16")
+    assert str(arrays["meg"].dtype) == "bfloat16"
+    # fp32 loader on the same rows rounds to the same wire bits
+    ref = Loader(ds, batch_size=4, num_workers=1)
+    ref_batch, _ = next(iter(ref))
+    np.testing.assert_array_equal(
+        np.asarray(batch.meg).view(np.uint16),
+        ref_batch.meg.astype("bfloat16").view(np.uint16))
 
 
 @pytest.mark.slow
