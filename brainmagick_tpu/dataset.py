@@ -573,8 +573,11 @@ class ConcatDataset:
         for d in np.unique(which):
             sel = np.flatnonzero(which == d)
             local = indices[sel] - int(self.cumulative_sizes[d])
+            # dtype only when set: duck-typed test datasets provide
+            # get_batch without the kwarg
+            kw = {"dtype": dtype} if dtype else {}
             parts.append((sel, self.datasets[int(d)].get_batch(
-                local, with_events=with_events, dtype=dtype)))
+                local, with_events=with_events, **kw)))
         if len(parts) == 1:
             return parts[0][1]
         kw: tp.Dict[str, tp.Any] = {}

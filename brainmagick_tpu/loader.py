@@ -76,14 +76,18 @@ class Loader:
                 pad_weight[len(chunk):] = 0.
                 chunk = np.concatenate([chunk, chunk[-1:].repeat(pad)])
             if hasattr(self.dataset, "get_batch"):
-                # native multithreaded gather (one pass for the whole batch)
-                batch = self.dataset.get_batch(chunk,
-                                               with_events=self.with_events,
-                                               dtype=self.assemble_dtype)
+                # native multithreaded gather (one pass for the whole
+                # batch). dtype only when set: duck-typed test datasets
+                # provide get_batch without the kwarg
+                kw = ({"dtype": self.assemble_dtype}
+                      if self.assemble_dtype else {})
+                batch = self.dataset.get_batch(
+                    chunk, with_events=self.with_events, **kw)
             else:
                 batch = SegmentBatch.collate(
                     [self.dataset[int(i)] for i in chunk])
-                if self.assemble_dtype and self.assemble_dtype != "float32":
+            if self.assemble_dtype and self.assemble_dtype != "float32":
+                if np.asarray(batch.meg).dtype != self.assemble_dtype:
                     batch = dataclasses.replace(
                         batch,
                         meg=batch.meg.astype(self.assemble_dtype),
