@@ -23,8 +23,10 @@ dryrun:
 	XLA_FLAGS=--xla_force_host_platform_device_count=8 python __graft_entry__.py dryrun 8
 
 # full-architecture dress rehearsal of the 41% protocol: synthetic
-# KIT-.con gwilliams study -> grid runner -> paper-size training ->
-# offline eval -> paper tables (~10 min on a 1-core host)
+# KIT-.con gwilliams study (planted linear w2v2->MEG map, 48 sentences
+# x 4 subjects) -> grid runner -> paper-size training -> offline eval
+# (asserts top-1 >> chance; measured 56.4% over 94 candidates, chance
+# 1.1%) -> paper tables (~30 min on a 1-core host)
 rehearsal:
 	BM_REHEARSAL=1 python -m pytest tests/test_rehearsal.py -q -s
 

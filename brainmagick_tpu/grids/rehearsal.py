@@ -37,17 +37,23 @@ def explorer(launcher):
                 "layers": [14, 15, 16, 17, 18], "device": "cpu",
                 "random": True}},
         # run-length shrink only — the architecture stays paper-size.
-        # The budget (~72 steps, lr boosted for the small batch) must be
-        # enough to pull the PLANTED linear w2v2->MEG map above chance
-        # through the full protocol: scripts/rehearsal.py asserts the
-        # eval-stage top-1 accuracy, not just that the chain runs
-        "optim.epochs": 6,
-        "optim.max_batches": 12,
+        # The budget must be enough to pull the PLANTED linear
+        # w2v2->MEG map above chance through the full protocol:
+        # scripts/rehearsal.py asserts the eval-stage top-1 accuracy,
+        # not just that the chain runs. lr stays at the paper's 3e-4 —
+        # 1e-3 at batch 16 diverges (measured: valid loss 0.53 -> 29.8
+        # across epochs); the accuracy comes from corpus size (48
+        # sentences x 4 subjects), not lr.
+        "optim.epochs": 8,
+        "optim.max_batches": 24,
         "optim.batch_size": 16,
-        "optim.lr": 1e-3,
+        "optim.lr": 3e-4,
         "test.wer_negatives": 200,
         "test.wer_topx": 3,
-        "eval_every": 1,
+        # wer on the paper model costs ~3.5 CPU-min per pass; the
+        # rehearsal's gate is the OFFLINE eval stage, so skip
+        # intermediate test passes
+        "eval_every": 8,
         "num_workers": 2,
     })
     cache = os.environ.get("BM_REHEARSAL_CACHE")

@@ -51,6 +51,27 @@ SENTENCES = [
     "fresh snow covered every roof in the sleeping village",
     "long trains carried coal north through the frozen hills",
 ]
+
+# extend the corpus programmatically: the paper-size model memorizes a
+# 16-sentence train split outright (72 train segments -> train loss
+# 0.9, valid stuck at chance), so the planted-map rehearsal needs
+# enough DISTINCT segments that generalizing the inverse map beats
+# memorization. Word identity is irrelevant to the targets (sound
+# events slice distinct offsets of the story wav); seeded so the study
+# is deterministic.
+_WORD_BANK = (
+    "time river stone light cloud dream horse paper garden winter "
+    "summer candle window forest meadow copper silver branch valley "
+    "thunder breeze harbor lantern marble pebble saddle tunnel velvet "
+    "whisper yellow anchor basket cradle dagger ember feather goblet "
+    "hollow island jungle kettle ladder mirror needle orchard puzzle "
+    "quiver ribbon shadow timber urchin violet walnut yonder zephyr "
+    "bridge castle desert engine flower").split()
+_sent_rng = np.random.RandomState(20260819)
+SENTENCES = SENTENCES + [
+    " ".join(_sent_rng.choice(_WORD_BANK, 8, replace=False))
+    for _ in range(32)]
+
 WORD_STEP = 0.4
 GAP = 2.0
 N_CHANNELS = 208
@@ -77,7 +98,7 @@ def _write_wav(path: Path, seconds: float) -> None:
         f.writeframes(sig.tobytes())
 
 
-def build_study(root: Path, n_subjects: int = 2) -> None:
+def build_study(root: Path, n_subjects: int = 4) -> None:
     """Gwilliams-shaped BIDS tree: participants.tsv, per-recording
     events.tsv (dict-literal trial_type like the real annotations) and
     208-channel KIT .con raws written by our own writer
