@@ -319,6 +319,10 @@ class _BaseWav2Vec(base.Feature):
     #: encoder scan carries 5 accumulated states instead of 24 ys —
     #: strictly less HBM, and small enough for slow remote compilers
     jax_collect_layers: tp.Optional[tp.Tuple[int, ...]] = None
+    #: run the jax forward as 3 small executables host-looped over the
+    #: layer stack instead of one monolithic program (models.wav2vec2.
+    #: layerwise_forward) — for slow remote compilers / edge hosts
+    jax_layerwise: bool = False
 
     def __init__(self, sample_rate: Frequency, normalized: bool = True,
                  random: bool = False, device: str = "cpu",
@@ -407,9 +411,21 @@ class _BaseWav2Vec(base.Feature):
     def _load_jax_forward(self):
         """Jitted forward over the cached model/weights: one dispatch
         per chunk instead of an eagerly-traced op stream (each eager op
-        is a network round trip on relayed accelerators)."""
+        is a network round trip on relayed accelerators).
+
+        With ``jax_layerwise`` (or BM_W2V_LAYERWISE=1) the single
+        monolithic program is replaced by three small executables
+        (frontend / shared encoder layer / final LN) host-looped over
+        the stack — same math and return contract, parity-tested; for
+        slow remote compilers and memory-tight edge hosts (see
+        models.wav2vec2.layerwise_forward)."""
+        import os
+
         import jax
         model, variables = self._jax_cache.get(self._load_jax_model)
+        if self.jax_layerwise or os.environ.get("BM_W2V_LAYERWISE"):
+            from ..models.wav2vec2 import layerwise_forward
+            return layerwise_forward(model, variables)
         return jax.jit(lambda wav: model.apply(variables, wav))
 
     def _compute_hidden_states(self, name: str, filepath: str, start: float,
@@ -422,7 +438,8 @@ class _BaseWav2Vec(base.Feature):
             forward = MemoryCache(
                 "Wav2VecEmbedding",
                 ("jax_forward", self.model_name, self.random,
-                 self.jax_collect_layers)).get(self._load_jax_forward)
+                 self.jax_collect_layers,
+                 self.jax_layerwise)).get(self._load_jax_forward)
             last, extract, hidden = forward(jnp.asarray(input_values))
             if name == "hidden_states":
                 out = np.stack([np.asarray(h) for h in hidden])

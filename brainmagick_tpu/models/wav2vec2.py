@@ -277,6 +277,93 @@ class Wav2Vec2Model(nn.Module):
         return x, extract_features, hidden_states
 
 
+class _Frontend(nn.Module):
+    """Everything before the transformer stack, as its own module so
+    `layerwise_forward` can compile it separately: conv feature
+    extractor + projection (+ positional conv, + pre-LN for the
+    non-stable variant). Returns (encoder input, extract_features)."""
+    cfg: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, wav: jax.Array) -> tp.Tuple[jax.Array, jax.Array]:
+        cfg = self.cfg
+        features = FeatureEncoder(cfg, name="feature_extractor")(wav)
+        extract_features = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps,
+            name="feature_projection_layer_norm")(features)
+        x = nn.Dense(cfg.hidden_size,
+                     name="feature_projection")(extract_features)
+        x = x + PositionalConvEmbedding(cfg, name="pos_conv_embed")(x)
+        if not cfg.do_stable_layer_norm:
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                             name="encoder_layer_norm")(x)
+        return x, extract_features
+
+
+def layerwise_forward(model: Wav2Vec2Model,
+                      variables: tp.Mapping) -> tp.Callable:
+    """Incremental-compile execution of ``model``: three SMALL XLA
+    executables (frontend, ONE shared encoder layer, final layer norm)
+    driven by a host loop, instead of one monolithic program.
+
+    Same math, same weights, same (last, extract, hidden) contract as
+    ``model.apply`` — parity-tested in tests/test_wav2vec2.py. Use when
+    a slow/remote compiler cannot hold the full-graph compile (this
+    container's relay drops the monolithic xlsr-53 compile after ~30-45
+    min; each of these three compiles is minutes), or on memory-tight
+    edge hosts where one resident executable per layer shape is cheaper
+    than the fused program. On a production TPU the monolithic
+    ``scan_layers`` program remains the default: it saves the ~L
+    dispatch round-trips per chunk.
+
+    Requires the ``scan_layers`` parameter layout (stacked [L] axis);
+    per-layer parameter trees are sliced once and stay device-resident,
+    so each dispatch reuses resident buffers (no per-call upload).
+    """
+    cfg = model.cfg
+    assert cfg.scan_layers, "layerwise_forward needs stacked [L] params"
+    params = variables["params"]
+    front_keys = ["feature_extractor", "feature_projection_layer_norm",
+                  "feature_projection", "pos_conv_embed"]
+    if not cfg.do_stable_layer_norm:
+        front_keys.append("encoder_layer_norm")
+    front = _Frontend(cfg)
+    front_params = {k: params[k] for k in front_keys}
+    layer = EncoderLayer(cfg)
+    stacked = params["layers"]["layer"]
+    n_layers = cfg.num_hidden_layers
+    per_layer = [jax.tree_util.tree_map(lambda a, k=k: a[k], stacked)
+                 for k in range(n_layers)]
+
+    front_j = jax.jit(lambda w: front.apply({"params": front_params}, w))
+    layer_j = jax.jit(lambda p, x: layer.apply({"params": p}, x))
+    if cfg.do_stable_layer_norm:
+        ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps)
+        ln_params = params["encoder_layer_norm"]
+        final_j = jax.jit(lambda x: ln.apply({"params": ln_params}, x))
+    else:
+        def final_j(x):
+            return x
+    collect = (tuple(range(n_layers + 1)) if cfg.collect_layers is None
+               else tuple(cfg.collect_layers))
+
+    def forward(wav: jax.Array
+                ) -> tp.Tuple[jax.Array, jax.Array,
+                              tp.Tuple[jax.Array, ...]]:
+        x, extract_features = front_j(wav)
+        states: tp.Dict[int, jax.Array] = {}
+        for k in range(n_layers):
+            if k in collect:
+                states[k] = x  # HF pre-layer convention
+            x = layer_j(per_layer[k], x)
+        x = final_j(x)
+        if n_layers in collect:
+            states[n_layers] = x
+        return x, extract_features, tuple(states[i] for i in collect)
+
+    return forward
+
+
 # ---------------------------------------------------------------------------
 # HF torch weight conversion
 # ---------------------------------------------------------------------------

@@ -127,6 +127,20 @@ def bench_wav2vec(seconds: float = 4.0) -> None:
 
         def run(x):
             return forward(x)[0, 0, 0]
+    elif ("--layerwise" in sys.argv
+          or os.environ.get("BM_W2V_LAYERWISE")):
+        # same shipped math/weights/collection, split into 3 small
+        # executables host-looped over the stack (layerwise_forward) —
+        # the variant whose compiles fit through the relay. Sync on
+        # last_hidden_state: it depends on every layer dispatch, and
+        # the collected states are its ancestors.
+        feat.jax_layerwise = True
+        forward = feat._load_jax_forward()
+        path = (f"shipped-math-layerwise-collect-"
+                f"{len(feat.jax_collect_layers)}-layers")
+
+        def run(x):
+            return forward(x)[0][0, 0, 0]
     else:
         forward = feat._load_jax_forward()
         path = f"shipped-collect-{len(feat.jax_collect_layers)}-layers"
@@ -149,7 +163,7 @@ def bench_wav2vec(seconds: float = 4.0) -> None:
             "unit": "audio samples/s", "batch": batch,
             "realtime_x": round(batch * seconds / dt_jax, 2),
             "vs_torch_cpu": round(batch * dt_torch / dt_jax, 1),
-            "backend": jax.default_backend(),
+            "backend": jax.default_backend(), "path": path,
             "detail": f"{batch}x{seconds:.0f}s chunk in {dt_jax:.3f}s"}))
 
 

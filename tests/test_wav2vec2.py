@@ -69,9 +69,65 @@ def test_flax_matches_torch(stable, norm, scan):
                                atol=2e-4)
 
 
-def test_wav2vec_feature_jax_backend(tmp_cache, tmp_path):
+@pytest.mark.parametrize("stable,norm", [(True, "layer"),
+                                         (False, "group")])
+def test_layerwise_forward_matches_monolithic(stable, norm):
+    """layerwise_forward (3 small executables + host loop) returns
+    bit-close results to the monolithic scan program — full collection,
+    narrowed collection, and torch end-to-end."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from brainmagick_tpu.models.wav2vec2 import (Wav2Vec2Model,
+                                                 layerwise_forward)
+
+    torch_model, flax_model, variables = _models(stable, norm,
+                                                 scan_layers=True)
+    rng = np.random.RandomState(0)
+    wav = rng.randn(2, 800).astype(np.float32)
+    x = jnp.asarray(wav)
+    last_m, extract_m, hidden_m = flax_model.apply(variables, x)
+
+    fwd = layerwise_forward(flax_model, variables)
+    last_l, extract_l, hidden_l = fwd(x)
+    np.testing.assert_allclose(np.asarray(last_l), np.asarray(last_m),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(extract_l),
+                               np.asarray(extract_m),
+                               rtol=1e-5, atol=1e-6)
+    assert len(hidden_l) == len(hidden_m)
+    for k, (hl, hm) in enumerate(zip(hidden_l, hidden_m)):
+        np.testing.assert_allclose(np.asarray(hl), np.asarray(hm),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f"layer {k}")
+
+    # narrowed collection (the shipped Wav2VecTransformer selection)
+    collect = (1, 2)
+    cfg_c = dataclasses.replace(flax_model.cfg, collect_layers=collect)
+    fwd_c = layerwise_forward(Wav2Vec2Model(cfg_c), variables)
+    last_c, _, hidden_c = fwd_c(x)
+    np.testing.assert_allclose(np.asarray(last_c), np.asarray(last_m),
+                               rtol=1e-5, atol=1e-6)
+    assert len(hidden_c) == len(collect)
+    for j, idx in enumerate(collect):
+        np.testing.assert_allclose(np.asarray(hidden_c[j]),
+                                   np.asarray(hidden_m[idx]),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f"collect[{j}]=layer {idx}")
+
+    with torch.no_grad():
+        out_t = torch_model(torch.from_numpy(wav),
+                            output_hidden_states=True)
+    np.testing.assert_allclose(np.asarray(last_l),
+                               out_t.last_hidden_state.numpy(),
+                               rtol=1e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("layerwise", [False, True])
+def test_wav2vec_feature_jax_backend(tmp_cache, tmp_path, layerwise):
     """Wav2VecTransformer(backend='jax') paints the same features as the
-    torch backend (random tiny model)."""
+    torch backend (random tiny model) — monolithic and layerwise."""
     import wave
 
     import numpy as np
@@ -102,6 +158,7 @@ def test_wav2vec_feature_jax_backend(tmp_cache, tmp_path):
     # isolate the jax model/forward MemoryCache keys from other tests
     # (they key on model_name + layer selection)
     feat_j.model_name = "w2vtest-tiny"
+    feat_j.jax_layerwise = layerwise
 
     out_t = feat_t._compute_hidden_states("hidden_states", str(wav_path),
                                           0.0, 0.5, layers=[1, 2])
