@@ -328,7 +328,11 @@ class _BaseWav2Vec(base.Feature):
                  random: bool = False, device: str = "cpu",
                  backend: str = "torch") -> None:
         super().__init__(sample_rate)
-        args: tp.Any = (self.model_name, random) if random else self.model_name
+        # "seeded" marks the deterministic random-init behavior: cache
+        # entries written by older per-process unseeded draws must not
+        # be read back as if they came from the seeded network
+        args: tp.Any = ((self.model_name, random, "seeded")
+                        if random else self.model_name)
         self.cache = Cache("Wav2VecEmbedding", args, mode="memmap")
         self.normalized = normalized
         self.device = device
@@ -342,6 +346,7 @@ class _BaseWav2Vec(base.Feature):
     def _load_model(self):
         import os
         os.environ.setdefault("HF_HUB_OFFLINE", "1")
+        import torch
         from transformers import Wav2Vec2Config, Wav2Vec2Model
         if self.random:
             try:
@@ -352,7 +357,18 @@ class _BaseWav2Vec(base.Feature):
                     hidden_size=1024, num_hidden_layers=24,
                     num_attention_heads=16, intermediate_size=4096,
                     do_stable_layer_norm=True, feat_extract_norm="layer")
-            return Wav2Vec2Model(config)
+            # SEEDED init: random weights must be identical in every
+            # process — the hidden-state disk cache is shared across
+            # the grid runner's training subprocesses and eval
+            # processes, and with per-process random draws any cache
+            # miss silently mixes features from DIFFERENT random
+            # networks (measured: rehearsal offline eval anti-
+            # correlated, truth mean rank 60/94). fork_rng keeps the
+            # global torch stream untouched.
+            with torch.random.fork_rng(devices=[]):
+                torch.manual_seed(
+                    int.from_bytes(self.model_name.encode()[:4], "big"))
+                return Wav2Vec2Model(config)
         try:
             return Wav2Vec2Model.from_pretrained(self.model_name)
         except OSError as e:

@@ -141,6 +141,17 @@ def get_solver(args: MainConfig, training: bool = True) -> Solver:
 
 
 def run(args: MainConfig) -> float:
+    """Train one XP. Pushes the config's cache/study/feature-model
+    paths into the env singleton itself (not only in main()): the grid
+    runner's in-process path (run_jobs(workers=1)) calls run() directly,
+    and without this its jobs silently ignored their `cache=` override
+    and ran cache-less against the ambient env (found via a rehearsal
+    whose in-process training never touched its workdir cache)."""
+    with env.temporary_from_args(args):
+        return _run(args)
+
+
+def _run(args: MainConfig) -> float:
     level = logging.DEBUG if args.verbose else logging.INFO
     logging.basicConfig(level=level,
                         format="%(levelname)s %(name)s: %(message)s")
@@ -218,7 +229,7 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> float:
     args = parse_overrides(argv if argv is not None else sys.argv[1:])
     with env.temporary_from_args(args):
         logger.info("XP signature: %s -> %s", args.sig, args.xp_folder)
-        return run(args)
+        return _run(args)
 
 
 if __name__ == "__main__":

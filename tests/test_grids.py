@@ -198,3 +198,45 @@ def test_run_jobs_skips_completed(tmp_path, monkeypatch):
     results = runner.run_jobs(jobs, out_dir=str(tmp_path), workers=2,
                               force=True)
     assert results[done_sig] == 0
+
+
+def test_run_jobs_inprocess_honors_job_cache(tmp_path):
+    """run_jobs(workers=1) executes jobs in-process via train.run();
+    the job's cache override must reach the env singleton exactly as
+    the CLI path does. Regression: in-process jobs silently ignored
+    `cache=` and ran cache-less against the ambient env (surfaced by a
+    rehearsal whose training never touched its workdir cache and
+    recomputed every feature)."""
+    from brainmagick_tpu.env import env
+    from brainmagick_tpu.grids import runner
+    from brainmagick_tpu.grids.launcher import Job
+
+    cache = tmp_path / "fake_cache"
+    cache.mkdir()
+    overrides = {
+        "cache": str(cache),
+        "num_workers": 2, "seed": 1234,
+        "dset.selections": ["fake"], "dset.n_recordings": 2,
+        "dset.features": ["WordLength"],
+        "dset.test_ratio": 0.3, "dset.valid_ratio": 0.2,
+        "dset.min_n_blocks_per_split": 1,
+        "dset.tmin": -0.2, "dset.tmax": 1.0, "dset.condition": 1.0,
+        "dset.sample_rate": 120,
+        "optim.loss": "mse", "optim.epochs": 1, "optim.batch_size": 8,
+        "optim.max_batches": 2,
+        "task.type": "decode", "task.offset_meg_ms": 50,
+        "test.wer_negatives": 10, "test.wer_topx": 3,
+        "simpleconv.hidden": 16, "simpleconv.depth": 1,
+        "simpleconv.kernel_size": 3, "simpleconv.merger": False,
+        "simpleconv.initial_linear": 8, "simpleconv.subject_layers": False,
+        "eval_every": 8,
+    }
+    job = Job(overrides=overrides)
+    with env.temporary(cache=None):  # ambient env must not leak in
+        results = runner.run_jobs([job], out_dir=str(tmp_path / "out"),
+                                  workers=1)
+    assert results[job.sig] == 0
+    assert (tmp_path / "out" / "xps" / job.sig / "done.json").exists()
+    # the JOB's cache dir was populated (studies/feature tracks/...)
+    assert any(cache.iterdir()), \
+        "in-process job ignored its cache= override"

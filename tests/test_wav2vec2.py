@@ -168,6 +168,38 @@ def test_wav2vec_feature_jax_backend(tmp_cache, tmp_path, layerwise):
     assert MemoryCache  # keep the import referenced
 
 
+def test_random_model_init_is_seeded(monkeypatch):
+    """random=True weights must be IDENTICAL in every process/call:
+    the hidden-state disk cache is shared across grid-runner training
+    subprocesses and eval processes, and per-process unseeded draws
+    silently mix features from different random networks on any cache
+    miss. Also: seeding must not perturb the global torch RNG stream."""
+    from brainmagick_tpu.features.audio import Wav2VecTransformer
+    from brainmagick_tpu.utils import Frequency
+
+    tiny = transformers.Wav2Vec2Config(
+        conv_dim=[8, 8], conv_kernel=[10, 3], conv_stride=[5, 2],
+        hidden_size=16, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=32, num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4)
+    monkeypatch.setattr(transformers.Wav2Vec2Config, "from_pretrained",
+                        classmethod(lambda cls, name: tiny))
+
+    feat = Wav2VecTransformer(Frequency(120.0), random=True)
+    torch.manual_seed(123)
+    m1 = feat._load_model()
+    stream1 = torch.randn(4)          # global stream after first load
+    torch.manual_seed(999)            # a very different global state
+    m2 = feat._load_model()
+    for (k1, v1), (k2, v2) in zip(m1.state_dict().items(),
+                                  m2.state_dict().items()):
+        assert k1 == k2
+        assert torch.equal(v1, v2), f"unseeded random init leaks: {k1}"
+    # fork_rng restored the global stream: same draws as an unseeded run
+    torch.manual_seed(123)
+    assert torch.equal(torch.randn(4), stream1)
+
+
 def test_collect_layers_scan_matches_full():
     """collect_layers under lax.scan (carry accumulator) returns exactly
     the selected hidden states of the full collection — including the
