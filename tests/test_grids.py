@@ -215,6 +215,10 @@ def test_run_jobs_inprocess_honors_job_cache(tmp_path):
     cache.mkdir()
     overrides = {
         "cache": str(cache),
+        # keep the process-global persistent compile cache untouched:
+        # jax initializes its cache singleton at first use, and a later
+        # test pointing the dir elsewhere would not redirect writes
+        "parallel.compilation_cache": False,
         "num_workers": 2, "seed": 1234,
         "dset.selections": ["fake"], "dset.n_recordings": 2,
         "dset.features": ["WordLength"],

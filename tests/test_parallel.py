@@ -506,6 +506,12 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
 
     prev_dir = jax.config.jax_compilation_cache_dir
     prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    # the persistent cache is a lazily-initialized process singleton:
+    # if an earlier test compiled with a cache dir set, changing the
+    # config dir would not redirect writes — reset it first
+    from jax._src import compilation_cache as _cc
+    if hasattr(_cc, "reset_cache"):
+        _cc.reset_cache()
     try:
         # resolution: explicit arg wins
         explicit = enable_compilation_cache(tmp_path / "explicit")
