@@ -341,7 +341,13 @@ class _BaseWav2Vec(base.Feature):
         #: the weights once and runs the flax port on the accelerator
         #: (numerics parity-tested in tests/test_wav2vec2.py)
         self.backend = backend
-        self._model_cache = MemoryCache("Wav2VecEmbedding", "model")
+        # keyed on (name, random): two features with different model
+        # settings in ONE process (e.g. in-process grid jobs) must not
+        # share the first-loaded torch model — hidden states computed
+        # from the wrong weights would be PERSISTED under the other
+        # key's disk cache
+        self._model_cache = MemoryCache(
+            "Wav2VecEmbedding", ("model", self.model_name, random))
 
     def _load_model(self):
         import os
@@ -364,9 +370,12 @@ class _BaseWav2Vec(base.Feature):
             # miss silently mixes features from DIFFERENT random
             # networks (measured: rehearsal offline eval anti-
             # correlated, truth mean rank 60/94). fork_rng keeps the
-            # global torch stream untouched.
+            # global torch stream untouched; seed only the CPU
+            # generator (torch.manual_seed would also reseed every
+            # CUDA generator, which fork_rng(devices=[]) does not
+            # restore) — HF init draws CPU tensors from it.
             with torch.random.fork_rng(devices=[]):
-                torch.manual_seed(
+                torch.default_generator.manual_seed(
                     int.from_bytes(self.model_name.encode()[:4], "big"))
                 return Wav2Vec2Model(config)
         try:
@@ -424,6 +433,16 @@ class _BaseWav2Vec(base.Feature):
             ("jax_model", self.model_name, self.random,
              self.jax_collect_layers))
 
+    def _layerwise_enabled(self) -> bool:
+        """Effective layerwise-mode flag: the instance knob, or
+        BM_W2V_LAYERWISE parsed as a boolean VALUE (so `=0`/`=false`
+        disables — a bare presence check would make an A/B with 0 vs 1
+        silently run the same path twice)."""
+        import os
+        return bool(self.jax_layerwise) or (
+            os.environ.get("BM_W2V_LAYERWISE", "").strip().lower()
+            in ("1", "true", "yes", "on"))
+
     def _load_jax_forward(self):
         """Jitted forward over the cached model/weights: one dispatch
         per chunk instead of an eagerly-traced op stream (each eager op
@@ -435,11 +454,9 @@ class _BaseWav2Vec(base.Feature):
         the stack — same math and return contract, parity-tested; for
         slow remote compilers and memory-tight edge hosts (see
         models.wav2vec2.layerwise_forward)."""
-        import os
-
         import jax
         model, variables = self._jax_cache.get(self._load_jax_model)
-        if self.jax_layerwise or os.environ.get("BM_W2V_LAYERWISE"):
+        if self._layerwise_enabled():
             from ..models.wav2vec2 import layerwise_forward
             return layerwise_forward(model, variables)
         return jax.jit(lambda wav: model.apply(variables, wav))
@@ -455,7 +472,7 @@ class _BaseWav2Vec(base.Feature):
                 "Wav2VecEmbedding",
                 ("jax_forward", self.model_name, self.random,
                  self.jax_collect_layers,
-                 self.jax_layerwise)).get(self._load_jax_forward)
+                 self._layerwise_enabled())).get(self._load_jax_forward)
             last, extract, hidden = forward(jnp.asarray(input_values))
             if name == "hidden_states":
                 out = np.stack([np.asarray(h) for h in hidden])

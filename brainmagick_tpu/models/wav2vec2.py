@@ -206,6 +206,27 @@ class _ScanCollectLayer(nn.Module):
         return (EncoderLayer(self.cfg, name="layer")(x), acc), None
 
 
+def _frontend(cfg: Wav2Vec2Config, wav: jax.Array
+              ) -> tp.Tuple[jax.Array, jax.Array]:
+    """Everything before the transformer stack: conv feature extractor
+    + projection + positional conv (+ pre-LN for the non-stable
+    variant). Returns (encoder input, extract_features). Must be
+    called from an @nn.compact context — submodule names attach to the
+    CALLER's scope, so Wav2Vec2Model and _Frontend share one parameter
+    layout and one copy of these numerics."""
+    features = FeatureEncoder(cfg, name="feature_extractor")(wav)
+    extract_features = nn.LayerNorm(
+        epsilon=cfg.layer_norm_eps,
+        name="feature_projection_layer_norm")(features)
+    x = nn.Dense(cfg.hidden_size,
+                 name="feature_projection")(extract_features)
+    x = x + PositionalConvEmbedding(cfg, name="pos_conv_embed")(x)
+    if not cfg.do_stable_layer_norm:
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                         name="encoder_layer_norm")(x)
+    return x, extract_features
+
+
 class Wav2Vec2Model(nn.Module):
     """Returns (last_hidden_state, extract_features, hidden_states) with
     HF semantics: hidden_states[0] is the encoder input (projected
@@ -217,17 +238,7 @@ class Wav2Vec2Model(nn.Module):
     def __call__(self, wav: jax.Array
                  ) -> tp.Tuple[jax.Array, jax.Array, tp.Tuple[jax.Array, ...]]:
         cfg = self.cfg
-        features = FeatureEncoder(cfg, name="feature_extractor")(wav)
-        extract_features = nn.LayerNorm(
-            epsilon=cfg.layer_norm_eps,
-            name="feature_projection_layer_norm")(features)
-        x = nn.Dense(cfg.hidden_size,
-                     name="feature_projection")(extract_features)
-
-        x = x + PositionalConvEmbedding(cfg, name="pos_conv_embed")(x)
-        if not cfg.do_stable_layer_norm:
-            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
-                             name="encoder_layer_norm")(x)
+        x, extract_features = _frontend(cfg, wav)
         collect = cfg.collect_layers
         if collect is not None:
             assert all(0 <= k <= cfg.num_hidden_layers for k in collect), \
@@ -278,26 +289,14 @@ class Wav2Vec2Model(nn.Module):
 
 
 class _Frontend(nn.Module):
-    """Everything before the transformer stack, as its own module so
-    `layerwise_forward` can compile it separately: conv feature
-    extractor + projection (+ positional conv, + pre-LN for the
-    non-stable variant). Returns (encoder input, extract_features)."""
+    """The shared `_frontend` math as a standalone module, so
+    `layerwise_forward` (and the bench's carry-only proxy) can compile
+    everything before the transformer stack separately."""
     cfg: Wav2Vec2Config
 
     @nn.compact
     def __call__(self, wav: jax.Array) -> tp.Tuple[jax.Array, jax.Array]:
-        cfg = self.cfg
-        features = FeatureEncoder(cfg, name="feature_extractor")(wav)
-        extract_features = nn.LayerNorm(
-            epsilon=cfg.layer_norm_eps,
-            name="feature_projection_layer_norm")(features)
-        x = nn.Dense(cfg.hidden_size,
-                     name="feature_projection")(extract_features)
-        x = x + PositionalConvEmbedding(cfg, name="pos_conv_embed")(x)
-        if not cfg.do_stable_layer_norm:
-            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
-                             name="encoder_layer_norm")(x)
-        return x, extract_features
+        return _frontend(self.cfg, wav)
 
 
 def layerwise_forward(model: Wav2Vec2Model,
@@ -322,6 +321,12 @@ def layerwise_forward(model: Wav2Vec2Model,
     """
     cfg = model.cfg
     assert cfg.scan_layers, "layerwise_forward needs stacked [L] params"
+    n_layers = cfg.num_hidden_layers
+    if cfg.collect_layers is not None:
+        # fail at construction like the monolithic path, not with a
+        # bare KeyError after the whole forward has run
+        assert all(0 <= k <= n_layers for k in cfg.collect_layers), \
+            f"collect_layers out of range: {cfg.collect_layers}"
     params = variables["params"]
     front_keys = ["feature_extractor", "feature_projection_layer_norm",
                   "feature_projection", "pos_conv_embed"]
@@ -331,9 +336,15 @@ def layerwise_forward(model: Wav2Vec2Model,
     front_params = {k: params[k] for k in front_keys}
     layer = EncoderLayer(cfg)
     stacked = params["layers"]["layer"]
-    n_layers = cfg.num_hidden_layers
-    per_layer = [jax.tree_util.tree_map(lambda a, k=k: a[k], stacked)
-                 for k in range(n_layers)]
+    # one jitted unstack = ONE dispatch for all L slices (eager
+    # tree_map slicing costs L x n_leaves round trips on relayed
+    # accelerators). Memory note: the slices duplicate the encoder
+    # weights next to the cached stacked tree (~2x residency, e.g.
+    # ~2.4 GB fp32 for xlsr-53) — truly memory-tight hosts should pass
+    # a host-side (numpy) tree instead, which device_puts only slices.
+    per_layer = jax.jit(lambda p: tuple(
+        jax.tree_util.tree_map(lambda a, k=k: a[k], p)
+        for k in range(n_layers)))(stacked)
 
     front_j = jax.jit(lambda w: front.apply({"params": front_params}, w))
     layer_j = jax.jit(lambda p, x: layer.apply({"params": p}, x))

@@ -127,8 +127,7 @@ def bench_wav2vec(seconds: float = 4.0) -> None:
 
         def run(x):
             return forward(x)[0, 0, 0]
-    elif ("--layerwise" in sys.argv
-          or os.environ.get("BM_W2V_LAYERWISE")):
+    elif "--layerwise" in sys.argv or feat._layerwise_enabled():
         # same shipped math/weights/collection, split into 3 small
         # executables host-looped over the stack (layerwise_forward) —
         # the variant whose compiles fit through the relay. Sync on
@@ -169,7 +168,8 @@ def bench_wav2vec(seconds: float = 4.0) -> None:
 
 def _carry_only_forward(feat):
     """Frontend + carry-only lax.scan encoder + final LN: the full
-    xlsr-53 last_hidden_state without per-layer collection."""
+    xlsr-53 last_hidden_state without per-layer collection. Reuses the
+    library's _Frontend so the frontend numerics exist in one place."""
     import flax.linen as nn
     import jax
 
@@ -180,20 +180,7 @@ def _carry_only_forward(feat):
     params = variables["params"]
     layer = w2v.EncoderLayer(cfg)
 
-    class Frontend(nn.Module):
-        cfg: w2v.Wav2Vec2Config
-
-        @nn.compact
-        def __call__(self, wav):
-            c = self.cfg
-            features = w2v.FeatureEncoder(c, name="feature_extractor")(wav)
-            extract = nn.LayerNorm(
-                epsilon=c.layer_norm_eps,
-                name="feature_projection_layer_norm")(features)
-            x = nn.Dense(c.hidden_size, name="feature_projection")(extract)
-            return x + w2v.PositionalConvEmbedding(c, name="pos_conv_embed")(x)
-
-    frontend = Frontend(cfg)
+    frontend = w2v._Frontend(cfg)
     front_params = {k: params[k] for k in (
         "feature_extractor", "feature_projection_layer_norm",
         "feature_projection", "pos_conv_embed")}
@@ -202,7 +189,7 @@ def _carry_only_forward(feat):
 
     @jax.jit
     def forward(x):
-        h = frontend.apply({"params": front_params}, x)
+        h, _ = frontend.apply({"params": front_params}, x)
 
         def body(c, p):
             return layer.apply({"params": p}, c), None

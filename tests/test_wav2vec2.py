@@ -168,6 +168,25 @@ def test_wav2vec_feature_jax_backend(tmp_cache, tmp_path, layerwise):
     assert MemoryCache  # keep the import referenced
 
 
+def test_layerwise_env_flag_parsed_as_value(monkeypatch):
+    """BM_W2V_LAYERWISE=0 must DISABLE layerwise mode (a presence check
+    would make an A/B of 0 vs 1 silently run the same path twice)."""
+    from brainmagick_tpu.features.audio import Wav2VecTransformer
+    from brainmagick_tpu.utils import Frequency
+
+    feat = Wav2VecTransformer(Frequency(120.0), random=True)
+    monkeypatch.setenv("BM_W2V_LAYERWISE", "0")
+    assert not feat._layerwise_enabled()
+    monkeypatch.setenv("BM_W2V_LAYERWISE", "false")
+    assert not feat._layerwise_enabled()
+    monkeypatch.setenv("BM_W2V_LAYERWISE", "1")
+    assert feat._layerwise_enabled()
+    monkeypatch.delenv("BM_W2V_LAYERWISE")
+    assert not feat._layerwise_enabled()
+    feat.jax_layerwise = True
+    assert feat._layerwise_enabled()
+
+
 def test_random_model_init_is_seeded(monkeypatch):
     """random=True weights must be IDENTICAL in every process/call:
     the hidden-state disk cache is shared across grid-runner training
