@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import ctypes
 import logging
+import os
 import subprocess
 import typing as tp
 from pathlib import Path
@@ -23,14 +24,24 @@ def _build() -> tp.Optional[ctypes.CDLL]:
     if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
         return ctypes.CDLL(str(_LIB))
     try:
-        tmp = _LIB.with_suffix(".so.tmp")
+        # pid-unique tmp + atomic replace: concurrent processes (pytest
+        # workers, CLI subprocesses spawned by tests/grids) may all race
+        # to build the first time; each compiles privately and the last
+        # replace wins with an always-complete file.
+        tmp = _LIB.with_suffix(f".so.tmp.{os.getpid()}")
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC",
              "-std=c++17", "-pthread", str(_SRC), "-o", str(tmp)],
             check=True, capture_output=True, text=True, timeout=120)
-        tmp.rename(_LIB)
+        os.replace(tmp, _LIB)
         return ctypes.CDLL(str(_LIB))
     except (subprocess.SubprocessError, OSError) as e:
+        # a concurrent builder may have finished meanwhile — use its .so
+        try:
+            if _LIB.exists():
+                return ctypes.CDLL(str(_LIB))
+        except OSError:
+            pass
         logger.warning("native gather build failed (%s); using numpy "
                        "fallback", e)
         _build_failed = True
@@ -70,8 +81,15 @@ def is_available() -> bool:
     return _get_lib() is not None
 
 
+def _check_bounds(starts, n_times, total, what):
+    if len(starts) and (starts.min() < 0
+                        or starts.max() + n_times > total):
+        raise IndexError(f"{what} window outside the recording")
+
+
 def _numpy_gather_epochs(raw, starts, n_times, out_channels, baseline_len):
     n_channels = raw.shape[0]
+    _check_bounds(starts, n_times, raw.shape[1], "epoch")
     out = np.zeros((len(starts), out_channels, n_times), dtype=np.float32)
     for b, s in enumerate(starts):
         epoch = np.array(raw[:, s:s + n_times], dtype=np.float32)
@@ -123,6 +141,7 @@ def batch_gather_track(track: np.ndarray, starts: np.ndarray,
     track_ok = (isinstance(track, np.ndarray)
                 and track.dtype == np.float32 and track.strides[1] == 4)
     if lib is None or not track_ok:
+        _check_bounds(starts, n_times, track.shape[1], "track")
         out = np.stack([
             np.array(track[:, s:s + n_times], dtype=np.float32)
             for s in starts])

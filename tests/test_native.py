@@ -81,6 +81,43 @@ def test_gather_bounds_checked():
         batch_gather_epochs(raw, np.array([90]), n_times=20)
 
 
+def test_gather_bounds_checked_numpy_fallback():
+    """The fallback must match native semantics: IndexError, not a
+    silent short read / broadcast error (float64 forces the fallback)."""
+    raw = np.zeros((4, 100), dtype=np.float64)
+    with pytest.raises(IndexError):
+        batch_gather_epochs(raw, np.array([90]), n_times=20)
+    with pytest.raises(IndexError):
+        batch_gather_epochs(raw, np.array([-1]), n_times=20)
+    with pytest.raises(IndexError):
+        batch_gather_track(raw, np.array([95]), n_times=20)
+
+
+def test_concurrent_build_race_safe(tmp_path):
+    """N processes all building from a cold .so must all succeed (the
+    regression: a shared tmp filename made racing builders corrupt or
+    miss each other's rename and fall back to numpy for the process
+    lifetime)."""
+    import subprocess
+    import sys
+    from brainmagick_tpu.native import gather as g
+    lib = g._LIB
+    backup = lib.read_bytes() if lib.exists() else None
+    if lib.exists():
+        lib.unlink()
+    try:
+        code = ("from brainmagick_tpu.native import is_available; "
+                "import sys; sys.exit(0 if is_available() else 1)")
+        procs = [subprocess.Popen([sys.executable, "-c", code])
+                 for _ in range(4)]
+        rcs = [p.wait(timeout=180) for p in procs]
+        assert rcs == [0, 0, 0, 0], f"racing builders failed: {rcs}"
+        assert lib.exists()
+    finally:
+        if backup is not None and not lib.exists():
+            lib.write_bytes(backup)
+
+
 def test_gather_track():
     rng = np.random.RandomState(0)
     track = rng.randn(5, 1000).astype(np.float32)
