@@ -59,4 +59,11 @@ def explorer(launcher):
     cache = os.environ.get("BM_REHEARSAL_CACHE")
     if cache:
         launcher.bind_({"cache": cache})
+    # variant studies (e.g. the bf16-vs-fp32 estimate A/B in STATUS.md)
+    # bind extra overrides from a JSON env var instead of editing the
+    # grid: BM_REHEARSAL_EXTRA='{"simpleconv.output_dtype": null}'
+    extra = os.environ.get("BM_REHEARSAL_EXTRA")
+    if extra:
+        import json
+        launcher.bind_(json.loads(extra))
     launcher()

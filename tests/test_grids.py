@@ -244,3 +244,25 @@ def test_run_jobs_inprocess_honors_job_cache(tmp_path):
     # the JOB's cache dir was populated (studies/feature tracks/...)
     assert any(cache.iterdir()), \
         "in-process job ignored its cache= override"
+
+
+def test_rehearsal_extra_overrides_env_hook(monkeypatch):
+    """BM_REHEARSAL_EXTRA binds JSON overrides into the rehearsal grid
+    (variant studies, e.g. the bf16-vs-fp32 estimate A/B) without
+    editing the grid; absent, the default job is untouched."""
+    from brainmagick_tpu.grids import runner
+
+    monkeypatch.delenv("BM_REHEARSAL_EXTRA", raising=False)
+    _, jobs = runner.get_grid("rehearsal")
+    base = jobs[0].to_config()
+    assert base.simpleconv["output_dtype"] == "bfloat16"
+
+    monkeypatch.setenv(
+        "BM_REHEARSAL_EXTRA",
+        '{"simpleconv.output_dtype": null, "clip.compute_dtype": null}')
+    _, jobs = runner.get_grid("rehearsal")
+    cfg = jobs[0].to_config()
+    assert cfg.simpleconv["output_dtype"] is None
+    assert cfg.clip.compute_dtype is None
+    assert cfg.simpleconv["dtype"] == "bfloat16"  # convs stay bf16
+    assert cfg.sig != base.sig  # variant gets its own XP
